@@ -1,0 +1,127 @@
+"""Table-batched embedding lookup — the TPU equivalent of FBGEMM's
+`SplitTableBatchedEmbeddingBagsCodegen` forward
+(ref: third_party/fbgemm, consumed at
+torchrec/distributed/batched_embedding_kernel.py:410-421).
+
+Design (TPU-first, not a CUDA translation):
+
+* Tables in a group are ROW-CONCATENATED into one [total_rows, D] array;
+  a static per-feature `row_offsets` vector rebases ids. One big gather
+  feeds the whole group — exactly the "table-batched" trick, but expressed
+  so XLA sees a single gather + masked reduction it can fuse and tile.
+
+* Ids arrive in the padded [F, B, L] layout (see sparse/jagged.py). The
+  L axis is reduced with a validity mask: SUM/MEAN pooling is a masked
+  segment-sum that XLA lowers to VPU reductions; `NONE` returns per-token
+  rows for sequence models.
+
+* The op is differentiable: XLA derives the backward gather->scatter-add.
+  The *fused-optimizer* path (no dense table cotangent) lives in
+  fused_update.py and is wired by the training step, mirroring the
+  reference contract that the fused optimizer's `.step()` is a no-op
+  (ref: torchrec/optim/fused.py:15-31).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class PoolingMode(enum.Enum):
+    """ref: fbgemm PoolingMode consumed at
+    torchrec/modules/embedding_configs.py:66-75."""
+
+    SUM = "sum"
+    MEAN = "mean"
+    NONE = "none"
+
+
+def embedding_bag_lookup(
+    weights: Array,
+    ids: Array,
+    lengths: Array,
+    pooling: PoolingMode = PoolingMode.SUM,
+    per_sample_weights: Optional[Array] = None,
+) -> Array:
+    """Single-table pooled lookup.
+
+    weights: [R, D]; ids: [B, L] (pad slots may hold any valid id);
+    lengths: [B]. Returns [B, D] pooled ([B, L, D] for NONE).
+    """
+    B, L = ids.shape
+    rows = weights[ids]  # [B, L, D] gather
+    mask = (jnp.arange(L)[None, :] < lengths[:, None]).astype(weights.dtype)
+    if per_sample_weights is not None:
+        mask = mask * per_sample_weights.astype(weights.dtype)
+    if pooling is PoolingMode.NONE:
+        return rows * mask[:, :, None]
+    pooled = jnp.einsum("bld,bl->bd", rows, mask)
+    if pooling is PoolingMode.MEAN:
+        denom = jnp.maximum(lengths.astype(weights.dtype), 1.0)
+        pooled = pooled / denom[:, None]
+    return pooled
+
+
+def batched_embedding_lookup(
+    weights: Array,
+    ids: Array,
+    lengths: Array,
+    row_offsets: Array,
+    pooling: PoolingMode = PoolingMode.SUM,
+    per_sample_weights: Optional[Array] = None,
+) -> Array:
+    """Grouped multi-table pooled lookup (the TBE forward).
+
+    weights:     [total_rows, D] row-concatenation of all tables in the group
+    ids:         [F, B, L] per-feature local ids (padded layout)
+    lengths:     [F, B]
+    row_offsets: [F] static base row of each feature's table in `weights`
+    per_sample_weights: optional [F, B, L]
+
+    Returns [F, B, D] pooled embeddings ([F, B, L, D] for PoolingMode.NONE).
+    """
+    F, B, L = ids.shape
+    global_ids = ids + row_offsets[:, None, None]
+    rows = weights[global_ids.reshape(-1)].reshape(F, B, L, -1)
+    mask = (jnp.arange(L)[None, None, :] < lengths[:, :, None]).astype(
+        weights.dtype
+    )
+    if per_sample_weights is not None:
+        mask = mask * per_sample_weights.astype(weights.dtype)
+    if pooling is PoolingMode.NONE:
+        return rows * mask[:, :, :, None]
+    pooled = jnp.einsum("fbld,fbl->fbd", rows, mask)
+    if pooling is PoolingMode.MEAN:
+        denom = jnp.maximum(lengths.astype(weights.dtype), 1.0)
+        pooled = pooled / denom[:, :, None]
+    return pooled
+
+
+def sequence_embedding_lookup(
+    weights: Array,
+    ids: Array,
+    lengths: Array,
+    row_offsets: Array,
+) -> Array:
+    """Unpooled per-token lookup for EmbeddingCollection-style modules
+    (ref: PoolingMode.NONE TBE use at batched_embedding_kernel.py:416).
+
+    Returns [F, B, L, D]; pad tokens are zero rows.
+    """
+    return batched_embedding_lookup(
+        weights, ids, lengths, row_offsets, pooling=PoolingMode.NONE
+    )
+
+
+def make_row_offsets(rows_per_table: Sequence[int]) -> Array:
+    """Static cumulative base-row offsets for a table group."""
+    offs = [0]
+    for r in rows_per_table:
+        offs.append(offs[-1] + int(r))
+    return jnp.asarray(offs[:-1], dtype=jnp.int32)

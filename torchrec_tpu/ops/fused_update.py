@@ -1,0 +1,209 @@
+"""Fused sparse-embedding optimizer updates — the TPU equivalent of
+FBGEMM's optimizer-in-backward (ref: `SplitTableBatchedEmbeddingBagsCodegen`
+with optimizer= fused_params, consumed at
+torchrec/distributed/batched_embedding_kernel.py:260-284,604-647).
+
+Design (TPU-first):
+
+JAX has no "backward writes to parameters", so the fused update is an
+explicit step the training loop calls with the cotangent of the *pooled
+output* — the table never receives a dense [R, D] gradient:
+
+    pooled = batched_embedding_lookup(state.weights, ids, ...)
+    (loss, d_pooled) via jax.vjp over fn(pooled)        # table not diffed
+    row_grads = pooled_grad_to_row_grads(d_pooled, ...) # [N, D] per-token
+    state = apply_fused_update(state, flat_ids, row_grads, valid, lr)
+
+With buffer donation in the enclosing jit, `weights`/`momentum` update
+in place: memory traffic is O(touched rows), like the CUDA kernel.
+
+Duplicate-id correctness: rowwise-Adagrad accumulates mean(g_row²) of the
+TOTAL per-row gradient, so in-batch duplicate ids must be combined before
+the state update. `dedup_row_grads` does sort + segment-sum compaction in
+static shapes (no `jnp.unique`): ids are sorted, runs of equal ids are
+summed into compact slots, slack slots scatter to an out-of-range row and
+are dropped by XLA scatter's OOB-drop mode.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+class EmbOptimType(enum.Enum):
+    """ref: fbgemm EmbOptimType / torchrec OptimType
+    (torchrec/distributed/embedding_types.py:32-41)."""
+
+    SGD = "sgd"
+    EXACT_SGD = "exact_sgd"
+    ADAGRAD = "adagrad"
+    ROWWISE_ADAGRAD = "rowwise_adagrad"
+    ADAM = "adam"
+
+
+@struct.dataclass
+class FusedOptimizerState:
+    """Optimizer state living WITH the table, as in the reference where
+    momentum lives inside the fbgemm module
+    (ref: batched_embedding_kernel.py:204-246).
+
+    momentum1: [R] for ROWWISE_ADAGRAD, [R, D] for ADAGRAD/ADAM, None for SGD
+    momentum2: [R, D] for ADAM second moment, else None
+    step: scalar int32 (ADAM bias correction)
+    """
+
+    momentum1: Optional[Array]
+    momentum2: Optional[Array]
+    step: Array
+    optim: EmbOptimType = struct.field(pytree_node=False)
+
+
+def init_fused_optimizer_state(
+    num_rows: int, dim: int, optim: EmbOptimType, dtype=jnp.float32
+) -> FusedOptimizerState:
+    m1 = None
+    m2 = None
+    if optim is EmbOptimType.ROWWISE_ADAGRAD:
+        m1 = jnp.zeros((num_rows,), dtype=dtype)
+    elif optim is EmbOptimType.ADAGRAD:
+        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
+    elif optim is EmbOptimType.ADAM:
+        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
+        m2 = jnp.zeros((num_rows, dim), dtype=dtype)
+    return FusedOptimizerState(
+        momentum1=m1, momentum2=m2, step=jnp.zeros((), jnp.int32), optim=optim
+    )
+
+
+def pooled_grad_to_row_grads(
+    d_pooled: Array,
+    lengths: Array,
+    max_length: int,
+    pooling_is_mean: bool = False,
+    per_sample_weights: Optional[Array] = None,
+) -> Array:
+    """Expand pooled-output cotangent [F, B, D] to per-token row grads
+    [F, B, L, D] (chain rule of the masked pooling reduction)."""
+    F, B = lengths.shape
+    L = max_length
+    mask = (jnp.arange(L)[None, None, :] < lengths[:, :, None]).astype(
+        d_pooled.dtype
+    )
+    if per_sample_weights is not None:
+        mask = mask * per_sample_weights.astype(d_pooled.dtype)
+    if pooling_is_mean:
+        denom = jnp.maximum(lengths.astype(d_pooled.dtype), 1.0)
+        mask = mask / denom[:, :, None]
+    return d_pooled[:, :, None, :] * mask[:, :, :, None]
+
+
+def dedup_row_grads(
+    flat_ids: Array, row_grads: Array, valid: Array, num_rows: int
+) -> Tuple[Array, Array]:
+    """Combine gradients of duplicate ids. Static shapes throughout.
+
+    flat_ids:  [N] global row ids
+    row_grads: [N, D]
+    valid:     [N] bool (pad tokens False)
+    Returns (uids [N], sums [N, D]) where each real unique row appears once;
+    slack slots have uid == num_rows (dropped by OOB scatter downstream).
+    """
+    N = flat_ids.shape[0]
+    ids = jnp.where(valid, flat_ids, num_rows)
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    g = row_grads[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]
+    )
+    seg = jnp.cumsum(first) - 1  # [N] compact segment index
+    sums = jax.ops.segment_sum(g, seg, num_segments=N)
+    uids = jnp.full((N,), num_rows, dtype=sid.dtype).at[seg].set(sid)
+    uids = jnp.where(uids >= num_rows, num_rows, uids)  # pad segment -> drop
+    return uids, sums
+
+
+def apply_fused_update(
+    weights: Array,
+    opt_state: FusedOptimizerState,
+    flat_ids: Array,
+    row_grads: Array,
+    valid: Array,
+    learning_rate: Array,
+    eps: float = 1.0e-8,
+    weight_decay: float = 0.0,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+) -> Tuple[Array, FusedOptimizerState]:
+    """Apply one fused sparse optimizer step to touched rows only.
+
+    weights:   [R, D] (donate in the enclosing jit for in-place update)
+    flat_ids:  [N] global row ids into `weights`
+    row_grads: [N, D] per-token gradients (pre-dedup)
+    valid:     [N] bool
+
+    Semantics match FBGEMM per optimizer:
+      SGD:             w -= lr * g
+      ADAGRAD:         m += g²;  w -= lr * g / (sqrt(m) + eps)
+      ROWWISE_ADAGRAD: m += mean(g²);  w -= lr * g / (sqrt(m) + eps)
+      ADAM (exact):    m1 = b1 m1 + (1-b1) g; m2 = b2 m2 + (1-b2) g²
+                       w -= lr * m1_hat / (sqrt(m2_hat) + eps)
+    where g is the TOTAL (dup-combined) row gradient.
+    """
+    R = weights.shape[0]
+    uids, g = dedup_row_grads(flat_ids, row_grads, valid, R)
+    if weight_decay:
+        g = g + weight_decay * weights.at[uids].get(mode="fill", fill_value=0.0)
+    lr = jnp.asarray(learning_rate, dtype=weights.dtype)
+    optim = opt_state.optim
+
+    if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
+        new_w = weights.at[uids].add(-lr * g, mode="drop")
+        return new_w, opt_state.replace(step=opt_state.step + 1)
+
+    if optim is EmbOptimType.ROWWISE_ADAGRAD:
+        m = opt_state.momentum1
+        g_sq = jnp.mean(g * g, axis=1)  # [N]
+        new_m = m.at[uids].add(g_sq, mode="drop")
+        m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0)
+        upd = -lr * g / (jnp.sqrt(m_rows)[:, None] + eps)
+        new_w = weights.at[uids].add(upd, mode="drop")
+        return new_w, opt_state.replace(
+            momentum1=new_m, step=opt_state.step + 1
+        )
+
+    if optim is EmbOptimType.ADAGRAD:
+        m = opt_state.momentum1
+        new_m = m.at[uids].add(g * g, mode="drop")
+        m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0)
+        upd = -lr * g / (jnp.sqrt(m_rows) + eps)
+        new_w = weights.at[uids].add(upd, mode="drop")
+        return new_w, opt_state.replace(
+            momentum1=new_m, step=opt_state.step + 1
+        )
+
+    if optim is EmbOptimType.ADAM:
+        step = opt_state.step + 1
+        m1 = opt_state.momentum1
+        m2 = opt_state.momentum2
+        m1_rows = m1.at[uids].get(mode="fill", fill_value=0.0)
+        m2_rows = m2.at[uids].get(mode="fill", fill_value=0.0)
+        new_m1_rows = beta1 * m1_rows + (1.0 - beta1) * g
+        new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * g * g
+        new_m1 = m1.at[uids].set(new_m1_rows, mode="drop")
+        new_m2 = m2.at[uids].set(new_m2_rows, mode="drop")
+        t = step.astype(weights.dtype)
+        m1_hat = new_m1_rows / (1.0 - beta1**t)
+        m2_hat = new_m2_rows / (1.0 - beta2**t)
+        upd = -lr * m1_hat / (jnp.sqrt(m2_hat) + eps)
+        new_w = weights.at[uids].add(upd, mode="drop")
+        return new_w, opt_state.replace(momentum1=new_m1, momentum2=new_m2, step=step)
+
+    raise ValueError(f"unsupported fused optimizer: {optim}")
