@@ -1,0 +1,779 @@
+"""Sharding strategies: DP / TW / RW / CW as shard_map collective programs.
+
+ref: torchrec/distributed/sharding/{dp,tw,rw,cw}_sharding.py — but this is a
+TPU-first re-design, NOT a port of the bucketize+all_to_all machinery:
+
+* The reference redistributes sparse ids with a two-phase jagged all_to_all
+  (lengths first, then values; ref dist_data.py:276-411) because each rank
+  may receive a different number of ids. With the static padded [F, B, L]
+  layout we instead ALL-GATHER the ids over the "dev" axis — ids are int32
+  and tiny next to D-dim embedding rows, ICI all-gather is cheap, and every
+  shape stays static. Each device then looks up only the rows/features it
+  owns and the *output* collective carries the minimal traffic:
+
+    ROW_WISE:    all_gather(ids) -> masked local lookup (partial sums)
+                 -> psum_scatter over batch        (ref rw_sharding.py:314)
+    TABLE_WISE:  all_gather(ids) -> own-features lookup
+                 -> all_to_all batch<->feature     (ref tw_sharding.py:272)
+    COLUMN_WISE: all_gather(ids) -> all-rows lookup on the local col shard
+                 -> all_to_all batch<->columns     (ref cw_sharding.py:216)
+    DATA_PARALLEL: local lookup, no collective     (ref dp_sharding.py:148)
+
+* The backward issues the mirror collectives explicitly (all_gather of the
+  pooled-output cotangent) and applies the FUSED sparse optimizer update to
+  local shards only — the equivalent of FBGEMM's optimizer-in-backward
+  (ref batched_embedding_kernel.py:604-647), with no dense [R, D] gradient
+  ever materialized.
+
+* Storage layout is unified: sharded groups hold [n_dev, rows_loc, cols_loc]
+  with PartitionSpec("dev") on axis 0 (local view [1, rows_loc, cols_loc]
+  inside shard_map); DATA_PARALLEL holds a replicated [rows, D]. Row counts
+  are padded so every device's shard has identical (static) shape — the
+  price of XLA's uniformity, bounded by n_dev-1 pad rows per table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from torchrec_tpu.ops.embedding import PoolingMode
+from torchrec_tpu.ops.fused_update import (
+    EmbOptimType,
+    FusedOptimizerState,
+    apply_fused_update,
+)
+from torchrec_tpu.parallel.embedding_sharding import GroupMeta
+from torchrec_tpu.parallel.types import ShardingEnv, ShardingType
+from torchrec_tpu.sparse import PaddedSparseBatch
+
+Array = jax.Array
+AXIS = ShardingEnv.AXIS
+
+
+@struct.dataclass
+class EmbeddingGroupState:
+    """Sharded weights + fused optimizer state of one group."""
+
+    weights: Array
+    opt: FusedOptimizerState
+
+
+def _uniform_init(key, shape, rows):
+    bound = (1.0 / rows) ** 0.5
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class BaseEmbeddingShardingStrategy:
+    """One table-group sharded one way on one mesh."""
+
+    def __init__(
+        self,
+        env: ShardingEnv,
+        meta: GroupMeta,
+        optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
+        optim_kwargs: Optional[dict] = None,
+    ):
+        self.env = env
+        self.meta = meta
+        self.optim = optim
+        self.optim_kwargs = dict(optim_kwargs or {})
+        self.n = env.world_size
+        self.dim = meta.dim
+        self._build()
+
+    # -- layout ------------------------------------------------------------
+
+    def _build(self) -> None:
+        raise NotImplementedError
+
+    def weights_shape(self) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+    def weights_pspec(self) -> P:
+        return P(AXIS)
+
+    def _sharding(self, spec: P) -> NamedSharding:
+        return NamedSharding(self.env.mesh, spec)
+
+    def init_weights(self, key: jax.Array) -> Array:
+        """Init each table with its own uniform bound, then shard."""
+        dense = {}
+        for i, t in enumerate(self.meta.tables):
+            dense[t.name] = np.asarray(
+                _uniform_init(
+                    jax.random.fold_in(key, i), (t.rows, t.dim), t.rows
+                )
+            )
+        return self.shard_from_dense(dense)
+
+    def init_opt(self) -> FusedOptimizerState:
+        wshape = self.weights_shape()
+        rep = self._sharding(P())
+        shd = self._sharding(self.weights_pspec())
+        is_dp = len(wshape) == 2
+        row_shape = wshape[:-1]
+        m1 = m2 = None
+        if self.optim is EmbOptimType.ROWWISE_ADAGRAD:
+            m1 = jax.device_put(
+                jnp.zeros(row_shape), rep if is_dp else shd
+            )
+        elif self.optim is EmbOptimType.ADAGRAD:
+            m1 = jax.device_put(jnp.zeros(wshape), rep if is_dp else shd)
+        elif self.optim is EmbOptimType.ADAM:
+            m1 = jax.device_put(jnp.zeros(wshape), rep if is_dp else shd)
+            m2 = jax.device_put(jnp.zeros(wshape), rep if is_dp else shd)
+        return FusedOptimizerState(
+            momentum1=m1,
+            momentum2=m2,
+            step=jnp.zeros((), jnp.int32),
+            optim=self.optim,
+        )
+
+    def init_state(self, key: jax.Array) -> EmbeddingGroupState:
+        return EmbeddingGroupState(
+            weights=self.init_weights(key), opt=self.init_opt()
+        )
+
+    def shard_from_dense(self, dense: Dict[str, np.ndarray]) -> Array:
+        raise NotImplementedError
+
+    def unshard_to_dense(self, weights: Array) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    # -- compute -----------------------------------------------------------
+
+    def forward(self, state: EmbeddingGroupState, sb: PaddedSparseBatch) -> Array:
+        """Global batch-sharded pooled output [F, B, D]."""
+        raise NotImplementedError
+
+    def update(
+        self,
+        state: EmbeddingGroupState,
+        sb: PaddedSparseBatch,
+        d_pooled: Array,
+        learning_rate,
+    ) -> EmbeddingGroupState:
+        raise NotImplementedError
+
+    # -- shared kernel pieces ---------------------------------------------
+
+    def _opt_specs(self, sharded: bool) -> FusedOptimizerState:
+        """Spec pytree matching FusedOptimizerState structure."""
+        spec = P(AXIS) if sharded else P()
+        return FusedOptimizerState(
+            momentum1=None if self.optim is EmbOptimType.SGD else spec,
+            momentum2=spec if self.optim is EmbOptimType.ADAM else None,
+            step=P(),
+            optim=self.optim,
+        )
+
+    def _opt_local(self, opt: FusedOptimizerState) -> FusedOptimizerState:
+        """Strip the leading device axis from local optimizer views."""
+        def fix(x):
+            return None if x is None else (x[0] if x.ndim > self._local_opt_ndim(x) else x)
+        return FusedOptimizerState(
+            momentum1=None if opt.momentum1 is None else opt.momentum1[0],
+            momentum2=None if opt.momentum2 is None else opt.momentum2[0],
+            step=opt.step,
+            optim=opt.optim,
+        )
+
+    def _opt_relocal(
+        self, new: FusedOptimizerState
+    ) -> FusedOptimizerState:
+        return FusedOptimizerState(
+            momentum1=None if new.momentum1 is None else new.momentum1[None],
+            momentum2=None if new.momentum2 is None else new.momentum2[None],
+            step=new.step,
+            optim=new.optim,
+        )
+
+    @staticmethod
+    def _local_opt_ndim(x):  # pragma: no cover - helper
+        return x.ndim
+
+
+def _token_mask(lengths: Array, L: int) -> Array:
+    """[..., L] bool validity mask from [...]-shaped lengths."""
+    return jnp.arange(L)[None, None, :] < lengths[:, :, None]
+
+
+def _pool_coeff(
+    lengths: Array,
+    L: int,
+    mean_flags: np.ndarray,
+    psw: Optional[Array],
+    dtype,
+) -> Array:
+    """[F, B, L] pooling coefficient: mask * sample_weight / (len if MEAN)."""
+    coeff = _token_mask(lengths, L).astype(dtype)
+    if psw is not None:
+        coeff = coeff * psw.astype(dtype)
+    mean = jnp.asarray(mean_flags)[:, None, None]
+    denom = jnp.maximum(lengths.astype(dtype), 1.0)[:, :, None]
+    return jnp.where(mean, coeff / denom, coeff)
+
+
+class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
+    """Replicated tables, no dists (ref: dp_sharding.py:148-192).
+
+    Gradient sync (the reference's DDP allreduce) is an all_gather of the
+    per-device (ids, row-grad) lists followed by an identical fused update
+    on every replica — stays sparse, deterministic, replicas in lockstep.
+    """
+
+    def _build(self) -> None:
+        self.row_offsets = np.zeros((len(self.meta.tables),), np.int32)
+        acc = 0
+        for i, t in enumerate(self.meta.tables):
+            self.row_offsets[i] = acc
+            acc += t.rows
+        self.total_rows = acc
+        ft = self.meta.feature_table
+        self.feat_row_off = self.row_offsets[ft]  # [F]
+
+    def weights_shape(self):
+        return (self.total_rows, self.dim)
+
+    def weights_pspec(self) -> P:
+        return P()
+
+    def shard_from_dense(self, dense):
+        arr = np.concatenate(
+            [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
+        )
+        return jax.device_put(jnp.asarray(arr), self._sharding(P()))
+
+    def unshard_to_dense(self, weights):
+        w = np.asarray(weights)
+        out = {}
+        for off, t in zip(self.row_offsets, self.meta.tables):
+            out[t.name] = w[off : off + t.rows]
+        return out
+
+    def _local_ids(self, sb: PaddedSparseBatch):
+        return sb.ids + jnp.asarray(self.feat_row_off)[:, None, None]
+
+    def forward(self, state, sb):
+        F, B, L = sb.ids.shape
+        mesh = self.env.mesh
+        has_w = sb.weights is not None
+
+        def fwd(w, ids, lengths, psw):
+            gids = ids + jnp.asarray(self.feat_row_off)[:, None, None]
+            coeff = _pool_coeff(
+                lengths, L, self.meta.feature_pooling_mean,
+                psw if has_w else None, w.dtype,
+            )
+            rows = w[gids.reshape(-1)].reshape(F, -1, L, w.shape[-1])
+            return jnp.einsum("fbld,fbl->fbd", rows, coeff)
+
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths,
+          sb.weights if has_w else jnp.zeros((), sb.ids.dtype))
+
+    def update(self, state, sb, d_pooled, learning_rate):
+        F, B, L = sb.ids.shape
+        mesh = self.env.mesh
+        D = self.dim
+        has_w = sb.weights is not None
+
+        def upd(w, opt, ids, lengths, psw, d_out, lr):
+            gids = ids + jnp.asarray(self.feat_row_off)[:, None, None]
+            coeff = _pool_coeff(
+                lengths, L, self.meta.feature_pooling_mean,
+                psw if has_w else None, w.dtype,
+            )
+            row_grads = d_out[:, :, None, :] * coeff[:, :, :, None]
+            valid = _token_mask(lengths, L)
+            # gradient sync: gather every replica's sparse contribution
+            ids_all = lax.all_gather(gids.reshape(-1), AXIS, tiled=True)
+            grads_all = lax.all_gather(
+                row_grads.reshape(-1, D), AXIS, tiled=True
+            )
+            valid_all = lax.all_gather(valid.reshape(-1), AXIS, tiled=True)
+            new_w, new_opt = apply_fused_update(
+                w, opt, ids_all, grads_all, valid_all, lr,
+                **self.optim_kwargs,
+            )
+            return new_w, new_opt
+
+        psw = sb.weights if sb.weights is not None else jnp.zeros((), sb.ids.dtype)
+        psw_spec = P(None, AXIS) if sb.weights is not None else P()
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(), self._opt_specs(sharded=False), P(None, AXIS),
+                      P(None, AXIS), psw_spec, P(None, AXIS), P()),
+            out_specs=(P(), self._opt_specs(sharded=False)),
+            # every replica computes the identical update from the same
+            # all_gathered (ids, grads) — replicated by construction, which
+            # the static VMA check cannot prove
+            check_vma=False,
+        )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
+    """Row-wise: each table's rows split into n contiguous blocks
+    (ref: rw_sharding.py:193-341). Input = all_gather(ids); compute =
+    masked local lookup of owned rows (partial sums); output =
+    psum_scatter over the batch axis (the reference's reduce-scatter).
+
+    Unlike the reference's ceil-blocks ([3,3,3,1] for 10 rows / 4 ranks,
+    ref planner/enumerators.py:277-311), blocks here are padded-even
+    (shard_rows = ceil(R/n), last block padded) so shard shapes are
+    uniform — pad rows are unaddressable by construction.
+    """
+
+    def _build(self) -> None:
+        n = self.n
+        self.shard_rows = np.asarray(
+            [_cdiv(t.rows, n) for t in self.meta.tables], np.int32
+        )
+        self.local_offsets = np.zeros((len(self.meta.tables),), np.int32)
+        acc = 0
+        for i, sr in enumerate(self.shard_rows):
+            self.local_offsets[i] = acc
+            acc += int(sr)
+        self.rows_loc = acc
+        ft = self.meta.feature_table
+        self.feat_shard_rows = self.shard_rows[ft]
+        self.feat_local_off = self.local_offsets[ft]
+
+    def weights_shape(self):
+        return (self.n, self.rows_loc, self.dim)
+
+    def shard_from_dense(self, dense):
+        n = self.n
+        parts = []
+        for sr, t in zip(self.shard_rows, self.meta.tables):
+            w = np.asarray(dense[t.name])
+            pad = int(sr) * n - t.rows
+            if pad:
+                w = np.concatenate(
+                    [w, np.zeros((pad, t.dim), w.dtype)], axis=0
+                )
+            parts.append(w.reshape(n, int(sr), t.dim))
+        arr = np.concatenate(parts, axis=1)  # [n, rows_loc, D]
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+
+    def unshard_to_dense(self, weights):
+        w = np.asarray(weights)  # [n, rows_loc, D]
+        out = {}
+        for sr, off, t in zip(
+            self.shard_rows, self.local_offsets, self.meta.tables
+        ):
+            tbl = w[:, off : off + int(sr), :].reshape(-1, t.dim)
+            out[t.name] = tbl[: t.rows]
+        return out
+
+    def _route(self, ids_g: Array, lengths_g: Array, my: Array, L: int):
+        """owner/local-row routing for gathered ids."""
+        sr = jnp.asarray(self.feat_shard_rows)[:, None, None]
+        off = jnp.asarray(self.feat_local_off)[:, None, None]
+        owner = ids_g // sr
+        local = ids_g % sr + off
+        owned = (owner == my) & _token_mask(lengths_g, L)
+        return local, owned
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        mean_flags = self.meta.feature_pooling_mean
+        has_w = sb.weights is not None
+
+        def fwd(w, ids, lengths, psw):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+            )
+            local, owned = self._route(ids_g, len_g, my, L)
+            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
+            coeff = coeff * owned.astype(w.dtype)
+            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
+            partial = jnp.einsum("fbld,fbl->fbd", rows, coeff)
+            return lax.psum_scatter(
+                partial, AXIS, scatter_dimension=1, tiled=True
+            )
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths, psw)
+
+    def update(self, state, sb, d_pooled, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        D = self.dim
+        mean_flags = self.meta.feature_pooling_mean
+        has_w = sb.weights is not None
+        rows_loc = self.rows_loc
+
+        def upd(w, opt, ids, lengths, psw, d_out, lr):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+            )
+            d_g = lax.all_gather(d_out, AXIS, axis=1, tiled=True)  # [F,B,D]
+            local, owned = self._route(ids_g, len_g, my, L)
+            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
+            row_grads = d_g[:, :, None, :] * coeff[:, :, :, None]
+            w_loc = w[0]
+            opt_loc = self._opt_local(opt)
+            new_w, new_opt = apply_fused_update(
+                w_loc, opt_loc,
+                local.reshape(-1), row_grads.reshape(-1, D),
+                owned.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        psw_spec = P(None, AXIS) if has_w else P()
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), psw_spec, P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
+    """Table-wise: whole tables placed on single devices
+    (ref: tw_sharding.py:91-131,224-309). Input = all_gather(ids) then each
+    device selects its own features; output = all_to_all turning
+    feature-sharded [F_mine, B, D] into batch-sharded [F_all, B_loc, D]
+    (the reference's pooled-embeddings A2A, dist_data.py:602-698)."""
+
+    def _build(self) -> None:
+        n = self.n
+        per_dev: List[List[int]] = [[] for _ in range(n)]
+        for ti, t in enumerate(self.meta.tables):
+            if not (0 <= t.rank < n):
+                raise ValueError(
+                    f"table {t.name} placed on rank {t.rank} outside mesh "
+                    f"of {n} devices"
+                )
+            per_dev[t.rank].append(ti)
+
+        feats = self.meta.features
+        ft = self.meta.feature_table
+        feats_of_table: List[List[int]] = [[] for _ in self.meta.tables]
+        for fi, ti in enumerate(ft):
+            feats_of_table[ti].append(fi)
+
+        self.f_max = max(
+            (sum(len(feats_of_table[ti]) for ti in tids) for tids in per_dev),
+            default=1,
+        ) or 1
+        self.rows_max = max(
+            (sum(self.meta.tables[ti].rows for ti in tids) for tids in per_dev),
+            default=1,
+        ) or 1
+
+        # [n, f_max]: feature id per (device, slot); pad slot -> feature 0,
+        # masked out via dev_feat_valid
+        self.dev_feats = np.zeros((n, self.f_max), np.int32)
+        self.dev_feat_valid = np.zeros((n, self.f_max), bool)
+        self.dev_feat_rowoff = np.zeros((n, self.f_max), np.int32)
+        # canonical feature -> (device*f_max + slot) for output reassembly
+        self.out_pos = np.zeros((len(feats),), np.int32)
+        self.table_dev_rowoff = np.zeros((len(self.meta.tables),), np.int32)
+        for d, tids in enumerate(per_dev):
+            slot = 0
+            rowoff = 0
+            for ti in tids:
+                self.table_dev_rowoff[ti] = rowoff
+                for fi in feats_of_table[ti]:
+                    self.dev_feats[d, slot] = fi
+                    self.dev_feat_valid[d, slot] = True
+                    self.dev_feat_rowoff[d, slot] = rowoff
+                    self.out_pos[fi] = d * self.f_max + slot
+                    slot += 1
+                rowoff += self.meta.tables[ti].rows
+        self.per_dev = per_dev
+
+    def weights_shape(self):
+        return (self.n, self.rows_max, self.dim)
+
+    def shard_from_dense(self, dense):
+        arr = np.zeros((self.n, self.rows_max, self.dim), np.float32)
+        for d, tids in enumerate(self.per_dev):
+            off = 0
+            for ti in tids:
+                t = self.meta.tables[ti]
+                arr[d, off : off + t.rows] = np.asarray(dense[t.name])
+                off += t.rows
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+
+    def unshard_to_dense(self, weights):
+        w = np.asarray(weights)
+        out = {}
+        for d, tids in enumerate(self.per_dev):
+            off = 0
+            for ti in tids:
+                t = self.meta.tables[ti]
+                out[t.name] = w[d, off : off + t.rows]
+                off += t.rows
+        return out
+
+    def _mine(self, ids_g, len_g, psw_g, my):
+        feats = jnp.asarray(self.dev_feats)[my]  # [f_max]
+        fvalid = jnp.asarray(self.dev_feat_valid)[my]
+        rowoff = jnp.asarray(self.dev_feat_rowoff)[my]
+        ids_m = ids_g[feats] + rowoff[:, None, None]
+        len_m = len_g[feats] * fvalid[:, None].astype(len_g.dtype)
+        psw_m = None if psw_g is None else psw_g[feats]
+        mean_m = jnp.asarray(self.meta.feature_pooling_mean)[feats]
+        return ids_m, len_m, psw_m, mean_m
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        has_w = sb.weights is not None
+        f_max = self.f_max
+
+        def fwd(w, ids, lengths, psw):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+            )
+            ids_m, len_m, psw_m, mean_m = self._mine(ids_g, len_g, psw_g, my)
+            coeff = _token_mask(len_m, L).astype(w.dtype)
+            if psw_m is not None:
+                coeff = coeff * psw_m.astype(w.dtype)
+            denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
+            coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
+            rows = w[0][ids_m.reshape(-1)].reshape(*ids_m.shape, w.shape[-1])
+            pooled = jnp.einsum("fbld,fbl->fbd", rows, coeff)  # [f_max, B, D]
+            slots = lax.all_to_all(
+                pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # [n*f_max, B_loc, D]
+            return slots[jnp.asarray(self.out_pos)]  # [F, B_loc, D]
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths, psw)
+
+    def update(self, state, sb, d_pooled, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        D = self.dim
+        has_w = sb.weights is not None
+        f_max = self.f_max
+        rows_max = self.rows_max
+
+        def upd(w, opt, ids, lengths, psw, d_out, lr):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+            )
+            # route cotangent back: batch-sharded canonical [F, B_loc, D]
+            # -> feature-slot layout -> a2a -> my features, global batch
+            slots = jnp.zeros((self.n * f_max, d_out.shape[1], D), d_out.dtype)
+            slots = slots.at[jnp.asarray(self.out_pos)].set(d_out)
+            d_m = lax.all_to_all(
+                slots, AXIS, split_axis=0, concat_axis=1, tiled=True
+            )  # [f_max, B, D]
+            ids_m, len_m, psw_m, mean_m = self._mine(ids_g, len_g, psw_g, my)
+            coeff = _token_mask(len_m, L).astype(w.dtype)
+            if psw_m is not None:
+                coeff = coeff * psw_m.astype(w.dtype)
+            denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
+            coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
+            row_grads = d_m[:, :, None, :] * coeff[:, :, :, None]
+            valid = _token_mask(len_m, L)
+            new_w, new_opt = apply_fused_update(
+                w[0], self._opt_local(opt),
+                ids_m.reshape(-1), row_grads.reshape(-1, D),
+                valid.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        psw_spec = P(None, AXIS) if has_w else P()
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), psw_spec, P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
+    """Column-wise: every table's embedding dim split evenly over devices
+    (ref: cw_sharding.py:126-234). Each device owns cols
+    [my*D/n, (my+1)*D/n) of EVERY row; ids are all_gathered, lookup yields
+    full pooling of the local column shard, and an all_to_all swaps
+    batch-sharding for column-concat (the reference's A2A + column permute
+    restore, cw_sharding.py:216-234 — here columns come back in natural
+    order by construction, no permute needed).
+
+    Each column shard keeps its own rowwise optimizer state, matching the
+    reference's CW-shards-as-virtual-tables semantics."""
+
+    def _build(self) -> None:
+        n = self.n
+        if self.dim % n != 0:
+            raise ValueError(
+                f"COLUMN_WISE requires embedding_dim {self.dim} divisible "
+                f"by world size {n}"
+            )
+        self.cols_loc = self.dim // n
+        self.row_offsets = np.zeros((len(self.meta.tables),), np.int32)
+        acc = 0
+        for i, t in enumerate(self.meta.tables):
+            self.row_offsets[i] = acc
+            acc += t.rows
+        self.total_rows = acc
+        self.feat_row_off = self.row_offsets[self.meta.feature_table]
+
+    def weights_shape(self):
+        return (self.n, self.total_rows, self.cols_loc)
+
+    def shard_from_dense(self, dense):
+        arr = np.concatenate(
+            [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
+        )  # [R, D]
+        arr = np.stack(np.split(arr, self.n, axis=1), axis=0)  # [n, R, D/n]
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+
+    def unshard_to_dense(self, weights):
+        w = np.asarray(weights)  # [n, R, D/n]
+        full = np.concatenate(list(w), axis=1)  # [R, D]
+        out = {}
+        for off, t in zip(self.row_offsets, self.meta.tables):
+            out[t.name] = full[off : off + t.rows]
+        return out
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        mean_flags = self.meta.feature_pooling_mean
+        has_w = sb.weights is not None
+
+        def fwd(w, ids, lengths, psw):
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+            )
+            gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
+            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
+            rows = w[0][gids.reshape(-1)].reshape(*gids.shape, w.shape[-1])
+            pooled = jnp.einsum("fbld,fbl->fbd", rows, coeff)  # [F,B,D/n]
+            return lax.all_to_all(
+                pooled, AXIS, split_axis=1, concat_axis=2, tiled=True
+            )  # [F, B_loc, D]
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths, psw)
+
+    def update(self, state, sb, d_pooled, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        mean_flags = self.meta.feature_pooling_mean
+        has_w = sb.weights is not None
+        cols_loc = self.cols_loc
+
+        def upd(w, opt, ids, lengths, psw, d_out, lr):
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+            )
+            d_g = lax.all_to_all(
+                d_out, AXIS, split_axis=2, concat_axis=1, tiled=True
+            )  # [F, B, D/n]
+            gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
+            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
+            row_grads = d_g[:, :, None, :] * coeff[:, :, :, None]
+            valid = _token_mask(len_g, L)
+            new_w, new_opt = apply_fused_update(
+                w[0], self._opt_local(opt),
+                gids.reshape(-1), row_grads.reshape(-1, cols_loc),
+                valid.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        psw_spec = P(None, AXIS) if has_w else P()
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), psw_spec, P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+STRATEGY_REGISTRY = {
+    ShardingType.DATA_PARALLEL: DpEmbeddingSharding,
+    ShardingType.ROW_WISE: RwEmbeddingSharding,
+    ShardingType.TABLE_WISE: TwEmbeddingSharding,
+    ShardingType.COLUMN_WISE: CwEmbeddingSharding,
+}
+
+
+def create_sharding_strategy(
+    env: ShardingEnv,
+    meta: GroupMeta,
+    optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
+    optim_kwargs: Optional[dict] = None,
+) -> BaseEmbeddingShardingStrategy:
+    cls = STRATEGY_REGISTRY.get(meta.sharding_type)
+    if cls is None:
+        raise NotImplementedError(
+            f"sharding type {meta.sharding_type} not implemented yet"
+        )
+    return cls(env, meta, optim, optim_kwargs)

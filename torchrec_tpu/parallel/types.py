@@ -1,0 +1,112 @@
+"""Distributed core types: the sharding vocabulary.
+
+ref: torchrec/distributed/types.py — `ShardingType` (:64), `ParameterSharding`
+(:288), `ShardingEnv` (:328), `ShardingPlan` (:515).
+
+TPU re-design notes:
+
+* `ShardingEnv` wraps a `jax.sharding.Mesh` instead of a ProcessGroup.
+  The mesh has a flat "dev" axis (every chip does both data-parallel batch
+  work and model-parallel table work, like every rank in the reference) and
+  optionally a ("host", "dev") factorization for hierarchical strategies
+  (TWRW/TWCW), mirroring intra_and_cross_node_pg (ref: comm.py:102-150).
+
+* There is NO Awaitable/LazyAwaitable system (ref: types.py:108-285):
+  inside one jitted step XLA's async scheduler overlaps collectives with
+  compute automatically; the design replaces "wait on handle" with "let
+  the compiler schedule it".
+
+* Placements are mesh coordinates, not "rank:r/cuda:d" strings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+class ShardingType(enum.Enum):
+    """ref: distributed/types.py:64-82."""
+
+    DATA_PARALLEL = "data_parallel"
+    TABLE_WISE = "table_wise"
+    COLUMN_WISE = "column_wise"
+    ROW_WISE = "row_wise"
+    TABLE_ROW_WISE = "table_row_wise"
+    TABLE_COLUMN_WISE = "table_column_wise"
+
+
+class ComputeKernel(enum.Enum):
+    """ref: distributed/embedding_types.py:44-54. On TPU there is one fused
+    lookup path; DENSE keeps plain-autodiff tables (optimizer outside),
+    QUANT is the int8/int4 inference path. UVM variants map to host-offload
+    (documented gap in round 1)."""
+
+    DENSE = "dense"
+    FUSED = "fused"
+    QUANT = "quant"
+
+
+@dataclasses.dataclass
+class ParameterSharding:
+    """Per-table sharding decision (ref: types.py:288-325).
+
+    ranks: devices participating (flat mesh positions). For TABLE_WISE a
+    single entry; ROW_WISE/COLUMN_WISE default to all devices.
+    """
+
+    sharding_type: ShardingType
+    compute_kernel: ComputeKernel = ComputeKernel.FUSED
+    ranks: Optional[List[int]] = None
+    # host index for TABLE_ROW_WISE / TABLE_COLUMN_WISE placements
+    host: Optional[int] = None
+
+
+@dataclasses.dataclass
+class ShardingPlan:
+    """module path -> {table name -> ParameterSharding}
+    (ref: types.py:515-540)."""
+
+    plan: Dict[str, Dict[str, ParameterSharding]]
+
+    def get_plan_for_module(
+        self, module_path: str
+    ) -> Optional[Dict[str, ParameterSharding]]:
+        return self.plan.get(module_path)
+
+
+class ShardingEnv:
+    """Mesh wrapper (ref: types.py:328-363).
+
+    axis "dev": the flat device axis every collective rides (ICI).
+    local_size: devices per host, for hierarchical strategies.
+    """
+
+    AXIS = "dev"
+    HOST_AXIS = "host"
+
+    def __init__(self, mesh: Mesh, local_size: Optional[int] = None):
+        self.mesh = mesh
+        self.world_size = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self.local_size = local_size or self.world_size
+
+    @staticmethod
+    def from_devices(
+        devices: Optional[List[jax.Device]] = None,
+        local_size: Optional[int] = None,
+    ) -> "ShardingEnv":
+        devices = devices if devices is not None else jax.devices()
+        mesh = Mesh(np.asarray(devices), (ShardingEnv.AXIS,))
+        return ShardingEnv(mesh, local_size)
+
+    @property
+    def num_hosts(self) -> int:
+        return self.world_size // self.local_size
+
+    def __repr__(self) -> str:
+        return f"ShardingEnv(world={self.world_size}, local={self.local_size})"
