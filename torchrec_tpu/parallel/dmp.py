@@ -224,12 +224,25 @@ class DistributedModelParallel:
             key: ebc.init(jax.random.fold_in(rng, i + 1))
             for i, (key, ebc) in enumerate(self.sharded_ebcs.items())
         }
-        return DMPState(
+        state = DMPState(
             dense_params=dense_params,
             dense_opt=self.dense_optimizer.init(dense_params),
             emb_states=emb_states,
             step=jnp.zeros((), jnp.int32),
         )
+
+        # Commit every leaf to an explicit mesh sharding so the first
+        # train-step compilation signature matches all later ones (an
+        # uncommitted scalar otherwise triggers a full second compile when
+        # it comes back NamedSharding'd after step 1).
+        def commit(x):
+            if isinstance(x, jax.Array) and isinstance(
+                x.sharding, NamedSharding
+            ):
+                return x
+            return jax.device_put(x, rep)
+
+        return jax.tree.map(commit, state)
 
     def _injected(self, pooled: Dict[str, Array]) -> Dict:
         """Build the 'injected' collection dict from per-EBC pooled values."""
