@@ -1,0 +1,442 @@
+"""Criteo (1TB Click Logs / Kaggle DAC) dataset support.
+
+ref: torchrec/datasets/criteo.py — streaming TSV pipes (:122,152), binary
+preprocessing utilities (:181-637), and the per-rank in-memory binary
+loader (:638-839).
+
+TPU re-design notes:
+* The TSV -> npy conversion's hot loop is a native multithreaded C++
+  parser (csrc/criteo_parser.cpp) loaded via ctypes, replacing the
+  reference's per-row Python loop; a pure-numpy fallback keeps the path
+  dependency-free.
+* The loader emits `Batch`es whose sparse part is the padded [F, B, 1]
+  layout (Criteo has exactly one id per feature), so every batch is a
+  fixed-shape pytree: no two-phase length/value exchange, no
+  recompilation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchrec_tpu.datasets.utils import Batch
+from torchrec_tpu.sparse import PaddedSparseBatch
+
+INT_FEATURE_COUNT = 13
+CAT_FEATURE_COUNT = 26
+DAYS = 24
+FREQUENCY_THRESHOLD = 3
+TOTAL_TRAINING_SAMPLES = 4_195_197_692  # ref: criteo.py:49 (days 0-22)
+
+DEFAULT_LABEL_NAME = "label"
+DEFAULT_INT_NAMES: List[str] = [f"int_{i}" for i in range(INT_FEATURE_COUNT)]
+DEFAULT_CAT_NAMES: List[str] = [f"cat_{i}" for i in range(CAT_FEATURE_COUNT)]
+DEFAULT_COLUMN_NAMES: List[str] = [
+    DEFAULT_LABEL_NAME, *DEFAULT_INT_NAMES, *DEFAULT_CAT_NAMES
+]
+
+
+# ---------------------------------------------------------------------------
+# Native parser (csrc/criteo_parser.cpp), built on demand via g++ + ctypes
+# ---------------------------------------------------------------------------
+
+_NATIVE: Optional[ctypes.CDLL] = None
+
+
+def _native_parser() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the C++ TSV parser; None if unavailable."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    src = os.path.join(os.path.dirname(__file__), "..", "csrc",
+                       "criteo_parser.cpp")
+    src = os.path.abspath(src)
+    build_dir = os.path.join(os.path.dirname(src), "_build")
+    so_path = os.path.join(build_dir, "libcriteo_parser.so")
+    try:
+        if not os.path.exists(so_path) or (
+            os.path.getmtime(so_path) < os.path.getmtime(src)
+        ):
+            os.makedirs(build_dir, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+                 src, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.count_lines.restype = ctypes.c_int64
+        lib.count_lines.argtypes = [ctypes.c_char_p]
+        lib.parse_criteo_tsv.restype = ctypes.c_int64
+        lib.parse_criteo_tsv.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
+
+
+def _parse_tsv_numpy(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-python fallback parser (ref row_mapper, criteo.py:211-219)."""
+    dense, sparse, labels = [], [], []
+    with open(path, "r") as f:
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            cols += [""] * (1 + INT_FEATURE_COUNT + CAT_FEATURE_COUNT - len(cols))
+            labels.append(int(cols[0] or 0))
+            dense.append(
+                [int(cols[i] or 0) for i in range(1, 1 + INT_FEATURE_COUNT)]
+            )
+            sparse.append(
+                [
+                    int(cols[i] or "0", 16)
+                    for i in range(
+                        1 + INT_FEATURE_COUNT,
+                        1 + INT_FEATURE_COUNT + CAT_FEATURE_COUNT,
+                    )
+                ]
+            )
+    return (
+        np.asarray(dense, dtype=np.int64).astype(np.int32),
+        np.asarray(sparse, dtype=np.int64).astype(np.int32),
+        np.asarray(labels, dtype=np.int32),
+    )
+
+
+def parse_criteo_tsv(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (dense [N,13] int32 raw, sparse [N,26] int32, labels [N] int32)."""
+    lib = _native_parser()
+    if lib is None:
+        return _parse_tsv_numpy(path)
+    n = lib.count_lines(path.encode())
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    dense = np.zeros((n, INT_FEATURE_COUNT), np.int32)
+    sparse = np.zeros((n, CAT_FEATURE_COUNT), np.int32)
+    labels = np.zeros((n,), np.int32)
+    got = lib.parse_criteo_tsv(
+        path.encode(),
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        os.cpu_count() or 4,
+    )
+    if got != n:
+        raise IOError(f"parsed {got} of {n} rows from {path}")
+    return dense, sparse, labels
+
+
+# ---------------------------------------------------------------------------
+# Streaming TSV pipes (ref: criteo.py:122,152)
+# ---------------------------------------------------------------------------
+
+
+def criteo_tsv_reader(paths: Sequence[str]) -> Iterator[Dict]:
+    """Stream example dicts from raw TSVs (terabyte or kaggle format)."""
+    for path in paths:
+        with open(path, "r") as f:
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                cols += [""] * (len(DEFAULT_COLUMN_NAMES) - len(cols))
+                out: Dict = {DEFAULT_LABEL_NAME: int(cols[0] or 0)}
+                for i, name in enumerate(DEFAULT_INT_NAMES):
+                    out[name] = int(cols[1 + i] or 0)
+                for i, name in enumerate(DEFAULT_CAT_NAMES):
+                    out[name] = int(cols[1 + INT_FEATURE_COUNT + i] or "0", 16)
+                yield out
+
+
+def criteo_terabyte(paths: Sequence[str]) -> Iterator[Dict]:
+    """ref: criteo.py:122."""
+    return criteo_tsv_reader(paths)
+
+
+def criteo_kaggle(path: str) -> Iterator[Dict]:
+    """ref: criteo.py:152 (kaggle train.txt shares the terabyte format)."""
+    return criteo_tsv_reader([path])
+
+
+# ---------------------------------------------------------------------------
+# Binary preprocessing (ref: criteo.py:181-637)
+# ---------------------------------------------------------------------------
+
+
+class BinaryCriteoUtils:
+    """npy preprocessing utilities (ref: criteo.py:181)."""
+
+    @staticmethod
+    def tsv_to_npys(
+        in_file: str,
+        out_dense_file: str,
+        out_sparse_file: str,
+        out_labels_file: str,
+    ) -> None:
+        """TSV -> (dense f32 log(x+3), sparse int32, labels int32) npys
+        (ref: criteo.py:188-253). Uses the native parser when available."""
+        dense, sparse, labels = parse_criteo_tsv(in_file)
+        dense_f = np.log(dense.astype(np.float32) + 3.0, dtype=np.float32)
+        np.save(out_dense_file, dense_f)
+        np.save(out_sparse_file, sparse)
+        np.save(out_labels_file, labels.reshape(-1, 1))
+
+    @staticmethod
+    def get_shape_from_npy(path: str) -> Tuple[int, ...]:
+        """Shape from the npy header only (ref: criteo.py:320-336)."""
+        with open(path, "rb") as fin:
+            np.lib.format.read_magic(fin)
+            shape, _order, _dtype = np.lib.format.read_array_header_1_0(fin)
+            return shape
+
+    @staticmethod
+    def get_file_idx_to_row_range(
+        lengths: Sequence[int], rank: int, world_size: int
+    ) -> Dict[int, Tuple[int, int]]:
+        """Assign this rank a contiguous global row range spanning files
+        (ref: criteo.py:277-318). Returns {file_idx: (start, end)} with
+        inclusive ends, in file-local coordinates."""
+        total = sum(lengths)
+        rows_per_rank = total // world_size
+        start = rank * rows_per_rank
+        end = (rank + 1) * rows_per_rank - 1
+        if rank == world_size - 1:
+            end = total - 1
+        out: Dict[int, Tuple[int, int]] = {}
+        file_start = 0
+        for idx, length in enumerate(lengths):
+            file_end = file_start + length - 1
+            lo = max(start, file_start)
+            hi = min(end, file_end)
+            if lo <= hi:
+                out[idx] = (lo - file_start, hi - file_start)
+            file_start += length
+        return out
+
+    @staticmethod
+    def load_npy_range(
+        fname: str, start_row: int, num_rows: int, mmap_mode: bool = False
+    ) -> np.ndarray:
+        """Load a row range of a 2-D npy (ref: criteo.py:338-389)."""
+        if mmap_mode:
+            data = np.load(fname, mmap_mode="r")
+            return data[start_row : start_row + num_rows]
+        with open(fname, "rb") as fin:
+            np.lib.format.read_magic(fin)
+            shape, _order, dtype = np.lib.format.read_array_header_1_0(fin)
+            if len(shape) != 2:
+                raise ValueError("load_npy_range requires ndim == 2")
+            total_rows, row_size = shape
+            if not 0 <= start_row < total_rows:
+                raise ValueError(f"start_row {start_row} out of bounds")
+            if start_row + num_rows > total_rows:
+                raise ValueError("num_rows exceeds available rows")
+            fin.seek(start_row * row_size * dtype.itemsize, os.SEEK_CUR)
+            data = np.fromfile(fin, dtype=dtype, count=num_rows * row_size)
+            return data.reshape(num_rows, row_size)
+
+    @staticmethod
+    def sparse_to_contiguous(
+        in_files: Sequence[str],
+        output_dir: str,
+        frequency_threshold: int = FREQUENCY_THRESHOLD,
+        columns: int = CAT_FEATURE_COUNT,
+        output_file_suffix: str = "_contig_freq.npy",
+    ) -> None:
+        """Re-index categorical ids to contiguous ints per column across all
+        files; ids rarer than frequency_threshold map to 1, frequent ids
+        start at 2 in first-appearance order (ref: criteo.py:391-498).
+
+        Re-designed with vectorized numpy (unique/searchsorted) instead of
+        per-row dict loops, preserving the exact output mapping."""
+        arrays = {
+            os.path.basename(f).split(".")[0]: np.load(f) for f in in_files
+        }
+        names = list(arrays.keys())
+        for col in range(columns):
+            concat = np.concatenate([arrays[n][:, col] for n in names])
+            if frequency_threshold > 1:
+                uniq, counts = np.unique(concat, return_counts=True)
+                freq_of = dict(zip(uniq.tolist(), counts.tolist()))
+            # first-appearance order assignment (matches the reference's
+            # running_sum semantics)
+            _, first_idx = np.unique(concat, return_index=True)
+            appearance_order = concat[np.sort(first_idx)]
+            mapping: Dict[int, int] = {}
+            running = 2
+            for v in appearance_order.tolist():
+                if frequency_threshold > 1 and freq_of[v] < frequency_threshold:
+                    mapping[v] = 1
+                else:
+                    mapping[v] = running
+                    running += 1
+            # vectorized remap via sorted lookup
+            keys = np.asarray(sorted(mapping.keys()))
+            vals = np.asarray([mapping[k] for k in keys.tolist()], np.int32)
+            for n in names:
+                idx = np.searchsorted(keys, arrays[n][:, col])
+                arrays[n][:, col] = vals[idx]
+        os.makedirs(output_dir, exist_ok=True)
+        for n, arr in arrays.items():
+            np.save(os.path.join(output_dir, n + output_file_suffix), arr)
+
+    @staticmethod
+    def shuffle(
+        input_dir_labels_and_dense: str,
+        input_dir_sparse: str,
+        output_dir_shuffled: str,
+        rows_per_day: Dict[int, int],
+        days: int = DAYS,
+        seed: int = 0,
+    ) -> None:
+        """Global-shuffle the training days into per-day shuffled npys
+        (ref: criteo.py:500-637). Day `days-1` (test/val) passes through."""
+        train_days = days - 1
+        dense_parts, sparse_parts, label_parts = [], [], []
+        for d in range(train_days):
+            dense_parts.append(
+                np.load(os.path.join(input_dir_labels_and_dense,
+                                     f"day_{d}_dense.npy"))
+            )
+            sparse_parts.append(
+                np.load(os.path.join(input_dir_sparse, f"day_{d}_sparse.npy"))
+            )
+            label_parts.append(
+                np.load(os.path.join(input_dir_labels_and_dense,
+                                     f"day_{d}_labels.npy"))
+            )
+        dense = np.concatenate(dense_parts)
+        sparse = np.concatenate(sparse_parts)
+        labels = np.concatenate(label_parts)
+        perm = np.random.RandomState(seed).permutation(dense.shape[0])
+        dense, sparse, labels = dense[perm], sparse[perm], labels[perm]
+        os.makedirs(output_dir_shuffled, exist_ok=True)
+        start = 0
+        for d in range(train_days):
+            n = rows_per_day[d]
+            np.save(os.path.join(output_dir_shuffled, f"day_{d}_dense.npy"),
+                    dense[start : start + n])
+            np.save(os.path.join(output_dir_shuffled, f"day_{d}_sparse.npy"),
+                    sparse[start : start + n])
+            np.save(os.path.join(output_dir_shuffled, f"day_{d}_labels.npy"),
+                    labels[start : start + n])
+            start += n
+        for suffix, src_dir in (
+            ("dense", input_dir_labels_and_dense),
+            ("sparse", input_dir_sparse),
+            ("labels", input_dir_labels_and_dense),
+        ):
+            src = os.path.join(src_dir, f"day_{days-1}_{suffix}.npy")
+            if os.path.exists(src):
+                np.save(
+                    os.path.join(output_dir_shuffled,
+                                 f"day_{days-1}_{suffix}.npy"),
+                    np.load(src),
+                )
+
+
+# ---------------------------------------------------------------------------
+# In-memory binary loader (ref: criteo.py:638-839)
+# ---------------------------------------------------------------------------
+
+
+class InMemoryBinaryCriteoIterDataPipe:
+    """Per-rank in-memory loader over preprocessed npys emitting fixed-shape
+    Batches with L=1 sparse features (ref: criteo.py:638-839).
+
+    hashes: optional per-feature modulus applied to ids (table sizes).
+    """
+
+    def __init__(
+        self,
+        dense_paths: Sequence[str],
+        sparse_paths: Sequence[str],
+        labels_paths: Sequence[str],
+        batch_size: int,
+        rank: int = 0,
+        world_size: int = 1,
+        shuffle_batches: bool = False,
+        hashes: Optional[Sequence[int]] = None,
+        mmap_mode: bool = False,
+        seed: int = 0,
+    ):
+        self.batch_size = batch_size
+        self.rank = rank
+        self.world_size = world_size
+        self.shuffle_batches = shuffle_batches
+        self.hashes = None if hashes is None else np.asarray(hashes, np.int64)
+        self._rng = np.random.RandomState(seed + rank)
+
+        lengths = [
+            BinaryCriteoUtils.get_shape_from_npy(p)[0] for p in dense_paths
+        ]
+        row_ranges = BinaryCriteoUtils.get_file_idx_to_row_range(
+            lengths, rank, world_size
+        )
+        dense_l, sparse_l, labels_l = [], [], []
+        for idx, (lo, hi) in row_ranges.items():
+            n = hi - lo + 1
+            dense_l.append(
+                BinaryCriteoUtils.load_npy_range(
+                    dense_paths[idx], lo, n, mmap_mode
+                )
+            )
+            sparse_l.append(
+                BinaryCriteoUtils.load_npy_range(
+                    sparse_paths[idx], lo, n, mmap_mode
+                )
+            )
+            labels_l.append(
+                BinaryCriteoUtils.load_npy_range(
+                    labels_paths[idx], lo, n, mmap_mode
+                )
+            )
+        self.dense = np.concatenate(dense_l) if dense_l else np.zeros(
+            (0, INT_FEATURE_COUNT), np.float32
+        )
+        self.sparse = np.concatenate(sparse_l) if sparse_l else np.zeros(
+            (0, CAT_FEATURE_COUNT), np.int32
+        )
+        self.labels = np.concatenate(labels_l) if labels_l else np.zeros(
+            (0, 1), np.int32
+        )
+        if self.hashes is not None:
+            self.sparse = (
+                self.sparse.astype(np.int64) % self.hashes[None, :]
+            ).astype(np.int32)
+            self.sparse = np.abs(self.sparse)
+        self.num_rows = self.dense.shape[0]
+        self.num_batches = self.num_rows // batch_size
+
+    def _make_batch(self, lo: int) -> Batch:
+        B = self.batch_size
+        dense = jnp.asarray(self.dense[lo : lo + B], jnp.float32)
+        ids = jnp.asarray(
+            self.sparse[lo : lo + B].T[:, :, None], jnp.int32
+        )  # [F, B, 1]
+        lengths = jnp.ones((CAT_FEATURE_COUNT, B), jnp.int32)
+        sb = PaddedSparseBatch(
+            ids=ids, lengths=lengths, keys=tuple(DEFAULT_CAT_NAMES)
+        )
+        labels = jnp.asarray(self.labels[lo : lo + B, 0], jnp.float32)
+        return Batch(dense_features=dense, sparse_features=sb, labels=labels)
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = np.arange(self.num_batches)
+        if self.shuffle_batches:
+            self._rng.shuffle(order)
+        for b in order:
+            yield self._make_batch(int(b) * self.batch_size)
+
+    def __len__(self) -> int:
+        return self.num_batches

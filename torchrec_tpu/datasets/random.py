@@ -1,0 +1,81 @@
+"""Synthetic recommendation data (ref: torchrec/datasets/random.py:113)."""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchrec_tpu.datasets.utils import Batch
+from torchrec_tpu.sparse import PaddedSparseBatch
+
+
+class RandomRecDataset:
+    """Random stream of Batches (ref: random.py:113).
+
+    keys: sparse feature names; hash_sizes: id range per feature (or one
+    hash_size for all); ids_per_feature: L (fixed per-token count);
+    num_dense: dense feature width.
+    """
+
+    def __init__(
+        self,
+        keys: Sequence[str],
+        batch_size: int,
+        hash_size: Optional[int] = None,
+        hash_sizes: Optional[Sequence[int]] = None,
+        ids_per_feature: int = 2,
+        num_dense: int = 13,
+        manual_seed: Optional[int] = None,
+        num_batches: Optional[int] = None,
+        min_ids_per_feature: Optional[int] = None,
+    ):
+        if hash_sizes is None:
+            hash_sizes = [hash_size or 100] * len(keys)
+        assert len(hash_sizes) == len(keys)
+        self.keys = tuple(keys)
+        self.batch_size = batch_size
+        self.hash_sizes = list(hash_sizes)
+        self.L = ids_per_feature
+        self.min_L = (
+            ids_per_feature if min_ids_per_feature is None
+            else min_ids_per_feature
+        )
+        self.num_dense = num_dense
+        self.num_batches = num_batches
+        self._seed = manual_seed if manual_seed is not None else 0
+
+    def _batch(self, rng: np.random.RandomState) -> Batch:
+        F, B, L = len(self.keys), self.batch_size, self.L
+        lengths = rng.randint(self.min_L, L + 1, size=(F, B)).astype(np.int32)
+        ids = np.stack(
+            [
+                rng.randint(0, self.hash_sizes[f], size=(B, L))
+                for f in range(F)
+            ]
+        ).astype(np.int32)
+        dense = rng.randn(B, self.num_dense).astype(np.float32)
+        labels = rng.randint(0, 2, size=(B,)).astype(np.float32)
+        sb = PaddedSparseBatch(
+            ids=jnp.asarray(ids),
+            lengths=jnp.asarray(lengths),
+            keys=self.keys,
+        )
+        return Batch(
+            dense_features=jnp.asarray(dense),
+            sparse_features=sb,
+            labels=jnp.asarray(labels),
+        )
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.RandomState(self._seed)
+        n = 0
+        while self.num_batches is None or n < self.num_batches:
+            yield self._batch(rng)
+            n += 1
+
+    def __len__(self) -> int:
+        if self.num_batches is None:
+            raise TypeError("infinite dataset")
+        return self.num_batches

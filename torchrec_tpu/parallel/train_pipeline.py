@@ -1,0 +1,88 @@
+"""Training pipeline with device prefetch.
+
+ref: torchrec/distributed/train_pipeline.py — `TrainPipelineBase` (:74,
+2-stage memcpy/compute overlap via CUDA streams) and
+`TrainPipelineSparseDist` (:422, 3-stage overlap via FX-rewriting
+ShardedModule.forward to consume a pre-issued input_dist).
+
+TPU re-design: none of that machinery is needed. One jitted train step
+contains input-dist collectives, lookup, output-dist, dense fwd/bwd and
+both optimizers; XLA's async scheduler overlaps the collectives with
+compute *inside* the step, and dispatch is asynchronous so the host can
+stage batch i+k while the device runs batch i. What remains worth doing
+explicitly is keeping a couple of batches resident on device ahead of
+time — `jax.device_put` is async, so this pipeline simply maintains a
+small prefetch queue, giving the same 2-deep batch overlap as the
+reference's memcpy stream (TRAIN_PIPELINE_STAGES=3, ref
+examples/dlrm/dlrm_main.py:58).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+
+
+class TrainPipeline:
+    """Iterator-driven train loop with K-deep device prefetch.
+
+    train_step: (state, batch) -> (state, loss, aux) — a jitted function.
+    state is held internally; `progress(it)` runs one step and returns
+    (loss, aux), raising StopIteration when the iterator is exhausted
+    (mirroring the reference's progress() contract,
+    ref train_pipeline.py:499-552).
+    """
+
+    def __init__(
+        self,
+        train_step: Callable,
+        state: Any,
+        prefetch_depth: int = 2,
+        device_put: Optional[Callable] = None,
+    ):
+        self._train_step = train_step
+        self.state = state
+        self._depth = max(1, prefetch_depth)
+        self._queue: collections.deque = collections.deque()
+        self._device_put = device_put or jax.device_put
+
+    def _fill(self, it: Iterator) -> None:
+        while len(self._queue) < self._depth:
+            try:
+                batch = next(it)
+            except StopIteration:
+                return
+            # async host->device transfer; replaces the memcpy stream
+            self._queue.append(self._device_put(batch))
+
+    def progress(self, it: Iterator):
+        self._fill(it)
+        if not self._queue:
+            raise StopIteration
+        batch = self._queue.popleft()
+        self._fill(it)
+        self.state, loss, aux = self._train_step(self.state, batch)
+        return loss, aux
+
+
+class EvalPipeline:
+    """Same prefetch structure for evaluation (no state update)."""
+
+    def __init__(self, eval_step: Callable, state: Any, prefetch_depth: int = 2):
+        self._eval_step = eval_step
+        self.state = state
+        self._depth = max(1, prefetch_depth)
+        self._queue: collections.deque = collections.deque()
+
+    def progress(self, it: Iterator):
+        while len(self._queue) < self._depth:
+            try:
+                self._queue.append(jax.device_put(next(it)))
+            except StopIteration:
+                break
+        if not self._queue:
+            raise StopIteration
+        batch = self._queue.popleft()
+        return self._eval_step(self.state, batch)
