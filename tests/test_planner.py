@@ -1,0 +1,180 @@
+"""Planner tests (ref: planner/tests/test_enumerators.py,
+test_partitioners.py, test_planners.py — exact shard sizes/offsets/ranks
+on a fake topology, no devices needed)."""
+
+import numpy as np
+import pytest
+
+from torchrec_tpu.modules import EmbeddingBagConfig
+from torchrec_tpu.parallel.types import ComputeKernel, ShardingType
+from torchrec_tpu.planner import (
+    EmbeddingShardingPlanner,
+    ParameterConstraints,
+    PlannerError,
+    Topology,
+)
+from torchrec_tpu.planner.enumerators import EmbeddingEnumerator
+from torchrec_tpu.planner.estimators import (
+    EmbeddingPerfEstimator,
+    EmbeddingStorageEstimator,
+)
+from torchrec_tpu.planner.partitioners import GreedyPerfPartitioner
+
+
+def _tables():
+    return [
+        EmbeddingBagConfig(num_embeddings=1_000_000, embedding_dim=128,
+                           name="big", feature_names=["f_big"]),
+        EmbeddingBagConfig(num_embeddings=10_000, embedding_dim=64,
+                           name="mid", feature_names=["f_mid"]),
+        EmbeddingBagConfig(num_embeddings=100, embedding_dim=16,
+                           name="small", feature_names=["f_small"]),
+    ]
+
+
+def test_enumerator_rw_shard_geometry():
+    topo = Topology(world_size=4, tpu_gen="v5e")
+    enum = EmbeddingEnumerator(topo, sharding_types=[ShardingType.ROW_WISE])
+    opts = enum.enumerate([EmbeddingBagConfig(
+        num_embeddings=10, embedding_dim=16, name="t", feature_names=["f"])],
+        None)
+    assert len(opts) == 1
+    sizes = [s.size for s in opts[0].shards]
+    offsets = [s.offset for s in opts[0].shards]
+    # padded-even blocks of ceil(10/4)=3: [3,3,3,1]
+    assert sizes == [(3, 16), (3, 16), (3, 16), (1, 16)]
+    assert offsets == [(0, 0), (3, 0), (6, 0), (9, 0)]
+
+
+def test_enumerator_cw_feasibility():
+    topo = Topology(world_size=4, tpu_gen="v5e")
+    enum = EmbeddingEnumerator(topo, sharding_types=[ShardingType.COLUMN_WISE])
+    # dim 128 / 4 = 32 >= MIN_CW_DIM -> feasible
+    ok = enum.enumerate([EmbeddingBagConfig(
+        num_embeddings=10, embedding_dim=128, name="a", feature_names=["f"])],
+        None)
+    assert len(ok) == 1
+    assert [s.size for s in ok[0].shards] == [(10, 32)] * 4
+    # dim 64 / 4 = 16 < 32 -> infeasible
+    bad = enum.enumerate([EmbeddingBagConfig(
+        num_embeddings=10, embedding_dim=64, name="b", feature_names=["f"])],
+        None)
+    assert bad == []
+
+
+def test_estimators_fill_perf_and_storage():
+    topo = Topology(world_size=8, tpu_gen="v5e")
+    enum = EmbeddingEnumerator(topo)
+    opts = enum.enumerate(_tables(), None)
+    EmbeddingPerfEstimator(topo).estimate(opts[0])
+    EmbeddingStorageEstimator(topo).estimate(opts[0])
+    assert all(s.perf > 0 for s in opts[0].shards)
+    assert all(s.storage.hbm > 0 for s in opts[0].shards)
+
+
+def test_partitioner_tw_balances_load():
+    topo = Topology(world_size=2, tpu_gen="v5e")
+    enum = EmbeddingEnumerator(topo, sharding_types=[ShardingType.TABLE_WISE])
+    tables = [
+        EmbeddingBagConfig(num_embeddings=1000, embedding_dim=64,
+                           name=f"t{i}", feature_names=[f"f{i}"])
+        for i in range(4)
+    ]
+    opts = enum.enumerate(tables, None)
+    for o in opts:
+        EmbeddingPerfEstimator(topo).estimate(o)
+        EmbeddingStorageEstimator(topo).estimate(o)
+    plan = GreedyPerfPartitioner().partition(opts, topo)
+    ranks = [o.shards[0].rank for o in plan]
+    assert sorted(ranks) == [0, 0, 1, 1]  # balanced 2+2
+
+
+def test_partitioner_overflow_raises():
+    topo = Topology(world_size=2, tpu_gen="v5e", hbm_cap=1024 * 1024)  # 1MiB
+    enum = EmbeddingEnumerator(topo, sharding_types=[ShardingType.TABLE_WISE])
+    tables = [EmbeddingBagConfig(num_embeddings=10_000_000, embedding_dim=128,
+                                 name="huge", feature_names=["f"])]
+    opts = enum.enumerate(tables, None)
+    EmbeddingStorageEstimator(topo).estimate(opts[0])
+    EmbeddingPerfEstimator(topo).estimate(opts[0])
+    with pytest.raises(PlannerError, match="no device can hold"):
+        GreedyPerfPartitioner().partition(opts, topo)
+
+
+def test_planner_end_to_end():
+    topo = Topology(world_size=8, tpu_gen="v5e", batch_size=4096)
+    planner = EmbeddingShardingPlanner(topo)
+    plan = planner.plan(_tables(), module_path="ebc")
+    entries = plan.get_plan_for_module("ebc")
+    assert set(entries) == {"big", "mid", "small"}
+    # the 1M-row table must not be replicated
+    assert entries["big"].sharding_type is not ShardingType.DATA_PARALLEL
+    assert planner.last_stats and "big" in planner.last_stats
+
+
+def test_planner_respects_constraints():
+    topo = Topology(world_size=8, tpu_gen="v5e")
+    planner = EmbeddingShardingPlanner(
+        topo,
+        constraints={
+            "big": ParameterConstraints(
+                sharding_types=[ShardingType.ROW_WISE]
+            )
+        },
+    )
+    plan = planner.plan(_tables(), module_path="m")
+    assert plan.get_plan_for_module("m")["big"].sharding_type is (
+        ShardingType.ROW_WISE
+    )
+
+
+def test_planner_infeasible_raises():
+    topo = Topology(world_size=2, tpu_gen="v5e", hbm_cap=64 * 1024)
+    planner = EmbeddingShardingPlanner(topo)
+    with pytest.raises(PlannerError, match="feasible"):
+        planner.plan(_tables())
+
+
+def test_planner_plan_feeds_dmp():
+    """Planner output must drive DistributedModelParallel end-to-end."""
+    import jax
+    import numpy as np_
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import EmbeddingBagCollection
+    from torchrec_tpu.parallel import DistributedModelParallel, ShardingEnv
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+    import jax.numpy as jnp
+
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=r, embedding_dim=16, name=f"t{i}",
+                           feature_names=[f"f{i}"])
+        for i, r in enumerate([5000, 300, 64])
+    )
+    topo = Topology(world_size=8, tpu_gen="v5e", batch_size=2)
+    plan = EmbeddingShardingPlanner(topo).plan(
+        tables, module_path="dlrm/embedding_bag_collection"
+    )
+    model = DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(
+            tables=tables, max_feature_length=1),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+        over_arch_layer_sizes=(8, 1)))
+    B = 16
+    rng = np_.random.RandomState(0)
+    sb = KeyedJaggedTensor.from_lengths(
+        [f"f{i}" for i in range(3)],
+        jnp.asarray(np_.concatenate([
+            rng.randint(0, [5000, 300, 64][i], B) for i in range(3)
+        ]).astype(np_.int32)),
+        jnp.asarray(np_.ones(3 * B, np_.int32)),
+    ).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, 4).astype(np_.float32))
+    labels = jnp.asarray((rng.rand(B) > 0.5).astype(np_.float32))
+    dmp = DistributedModelParallel(
+        model, env=ShardingEnv.from_devices(), plan=plan
+    )
+    state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+    new_state, loss, _ = dmp.make_train_step(donate=False)(
+        state, dense, sb, labels
+    )
+    assert np_.isfinite(float(loss))

@@ -1,0 +1,80 @@
+"""Greedy perf-balancing partitioner (ref: planner/partitioners.py:79-275).
+
+Uniform options (ROW_WISE / DATA_PARALLEL / COLUMN_WISE) place one shard
+per device 1:1; TABLE_WISE options are placed shard-by-shard onto the
+currently least-loaded device that still has storage, sorted by descending
+storage so the big tables land first (greedy bin-packing). Raises
+PlannerError when a device overflows."""
+
+from __future__ import annotations
+
+import copy
+from typing import List
+
+from torchrec_tpu.parallel.types import ShardingType
+from torchrec_tpu.planner.types import (
+    Partitioner,
+    PlannerError,
+    ShardingOption,
+    Storage,
+    Topology,
+)
+
+
+class GreedyPerfPartitioner(Partitioner):
+    def partition(
+        self, proposal: List[ShardingOption], topology: Topology
+    ) -> List[ShardingOption]:
+        devices = [
+            type(d)(rank=d.rank, storage=Storage(d.storage.hbm, d.storage.ddr))
+            for d in topology.devices
+        ]
+
+        def place(shard, rank):
+            dev = devices[rank]
+            if not shard.storage.fits_in(dev.storage):
+                raise PlannerError(
+                    f"device {rank} out of memory placing shard "
+                    f"(needs {shard.storage.hbm/1024**2:.0f}MiB HBM, has "
+                    f"{dev.storage.hbm/1024**2:.0f}MiB)"
+                )
+            dev.storage = dev.storage - shard.storage
+            dev.perf += shard.perf
+            shard.rank = rank
+
+        plan = copy.deepcopy(proposal)
+        # uniform options: 1:1 rank placement
+        tw_options = []
+        for opt in plan:
+            if opt.sharding_type in (
+                ShardingType.ROW_WISE,
+                ShardingType.DATA_PARALLEL,
+                ShardingType.COLUMN_WISE,
+            ):
+                if len(opt.shards) != topology.world_size:
+                    raise PlannerError(
+                        f"{opt.name}: uniform option has {len(opt.shards)} "
+                        f"shards for world {topology.world_size}"
+                    )
+                for r, shard in enumerate(opt.shards):
+                    place(shard, r)
+            else:
+                tw_options.append(opt)
+
+        # device options: biggest first onto min-perf feasible device
+        tw_options.sort(key=lambda o: o.total_storage.hbm, reverse=True)
+        for opt in tw_options:
+            for shard in opt.shards:
+                candidates = sorted(devices, key=lambda d: d.perf)
+                placed = False
+                for dev in candidates:
+                    if shard.storage.fits_in(dev.storage):
+                        place(shard, dev.rank)
+                        placed = True
+                        break
+                if not placed:
+                    raise PlannerError(
+                        f"no device can hold table {opt.name} "
+                        f"({shard.storage.hbm/1024**2:.0f}MiB HBM)"
+                    )
+        return plan
