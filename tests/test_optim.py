@@ -1,0 +1,175 @@
+"""Optimizer stack + checkpoint tests (ref: torchrec/optim/tests/*)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from torchrec_tpu.optim import (
+    GradientClipping,
+    KeyedOptimizer,
+    WarmupPolicy,
+    WarmupStage,
+    gradient_clipping,
+    make_warmup_schedule,
+    warmup_optimizer,
+)
+from torchrec_tpu.optim.keyed import flatten_with_fqns, unflatten_from_fqns
+
+
+def _params():
+    return {"mlp": {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}}
+
+
+def test_flatten_fqns_roundtrip():
+    p = _params()
+    flat = flatten_with_fqns(p)
+    assert set(flat) == {"mlp/w", "mlp/b"}
+    back = unflatten_from_fqns(p, flat)
+    np.testing.assert_array_equal(np.asarray(back["mlp"]["w"]), 1.0)
+
+
+def test_unflatten_strict_errors():
+    p = _params()
+    flat = flatten_with_fqns(p)
+    del flat["mlp/b"]
+    with pytest.raises(KeyError, match="missing"):
+        unflatten_from_fqns(p, flat)
+    flat = flatten_with_fqns(p)
+    flat["mlp/extra"] = jnp.zeros(())
+    with pytest.raises(KeyError, match="unexpected"):
+        unflatten_from_fqns(p, flat)
+
+
+def test_keyed_optimizer_state_dict_roundtrip():
+    p = _params()
+    ko = KeyedOptimizer(optax.adagrad(0.1))
+    state = ko.init(p)
+    grads = jax.tree.map(jnp.ones_like, p)
+    p2, state2 = ko.update(grads, state, p)
+    sd = ko.state_dict(state2)
+    assert any("mlp/w" in k for k in sd)
+    restored = ko.load_state_dict(state2, sd)
+    r_flat = flatten_with_fqns(restored)
+    for k, v in flatten_with_fqns(state2).items():
+        if hasattr(v, "shape"):
+            np.testing.assert_allclose(np.asarray(r_flat[k]), np.asarray(v))
+
+
+def test_warmup_schedule_linear_then_constant():
+    sched = make_warmup_schedule(
+        [
+            WarmupStage(WarmupPolicy.LINEAR, max_iters=10, value=0.0),
+            WarmupStage(WarmupPolicy.CONSTANT, max_iters=20, value=0.5),
+        ],
+        base_lr=1.0,
+    )
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(0.5)  # constant stage, 0.5x
+    assert float(sched(15)) == pytest.approx(0.5)
+    assert float(sched(25)) == pytest.approx(1.0)  # past all stages
+
+
+def test_warmup_invsqrt():
+    sched = make_warmup_schedule(
+        [WarmupStage(WarmupPolicy.INVSQRT, max_iters=100, value=1.0)],
+        base_lr=2.0,
+    )
+    # at count=25, progress=0.25 -> 1/sqrt(0.25)=2 -> lr 4.0
+    assert float(sched(25)) == pytest.approx(4.0)
+
+
+def test_warmup_optimizer_applies_schedule():
+    p = {"w": jnp.ones((2,))}
+    tx = warmup_optimizer(
+        optax.sgd(1.0),
+        [WarmupStage(WarmupPolicy.CONSTANT, max_iters=100, value=0.1)],
+    )
+    state = tx.init(p)
+    grads = {"w": jnp.ones((2,))}
+    updates, state = tx.update(grads, state, p)
+    # sgd(1.0) gives -1 update, scaled by 0.1
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-6)
+
+
+def test_gradient_clipping_norm():
+    tx = gradient_clipping(optax.sgd(1.0), GradientClipping.NORM, 1.0)
+    p = {"w": jnp.zeros((2,))}
+    state = tx.init(p)
+    grads = {"w": jnp.asarray([3.0, 4.0])}  # norm 5
+    updates, _ = tx.update(grads, state, p)
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), [-0.6, -0.8], rtol=1e-5
+    )
+
+
+def test_gradient_clipping_value():
+    tx = gradient_clipping(optax.sgd(1.0), GradientClipping.VALUE, 0.5)
+    p = {"w": jnp.zeros((2,))}
+    state = tx.init(p)
+    updates, _ = tx.update({"w": jnp.asarray([3.0, -4.0])}, state, p)
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-0.5, 0.5])
+
+
+def test_checkpoint_reshardable_roundtrip(tmp_path):
+    import optax
+
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+    from torchrec_tpu.utils.checkpoint import load_reshardable, save_reshardable
+
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=64, embedding_dim=16, name=f"t{i}",
+                           feature_names=[f"f{i}"]) for i in range(2)
+    )
+    model = DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(tables=tables,
+                                                        max_feature_length=1),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+        over_arch_layer_sizes=(8, 1)))
+    rng = np.random.RandomState(0)
+    B = 16
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0", "f1"],
+        jnp.asarray(rng.randint(0, 64, 2 * B), jnp.int32),
+        jnp.asarray(np.ones(2 * B, np.int32)),
+    ).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, 4).astype(np.float32))
+    labels = jnp.asarray((rng.rand(B) > 0.5).astype(np.float32))
+
+    def make_dmp(stype):
+        return DistributedModelParallel(
+            model, env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+                "t0": ParameterSharding(stype),
+                "t1": ParameterSharding(stype)}}),
+            dense_optimizer=optax.sgd(0.1),
+        )
+
+    dmp = make_dmp(ShardingType.ROW_WISE)
+    state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+    state, loss, _ = dmp.make_train_step(donate=False)(state, dense, sb, labels)
+    path = str(tmp_path / "ckpt.npz")
+    save_reshardable(path, dmp, state)
+
+    # reload under a DIFFERENT sharding plan (reshard by key)
+    from torchrec_tpu.parallel import ShardingType as ST
+    dmp2 = make_dmp(ST.COLUMN_WISE)
+    state2 = dmp2.init(jax.random.PRNGKey(9), dense, sb, labels)
+    state2 = load_reshardable(path, dmp2, state2)
+    l1 = dmp.forward(state, dense, sb, labels)[0]
+    l2 = dmp2.forward(state2, dense, sb, labels)[0]
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    assert int(state2.step) == 1
