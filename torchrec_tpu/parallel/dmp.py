@@ -81,15 +81,55 @@ class InjectedEmbeddingBagCollection(nn.Module):
         )
 
 
+class InjectedEmbeddingCollection(nn.Module):
+    """Parameter-less stand-in for an EmbeddingCollection: returns the
+    per-token embeddings injected as a stacked [F, B, L, D] variable."""
+
+    keys: Tuple[str, ...]
+    embedding_dim: int
+    tables: Tuple = ()
+
+    @nn.compact
+    def __call__(self, features: PaddedSparseBatch, as_jagged: bool = False):
+        del as_jagged
+        F = len(self.keys)
+        B, L = features.ids.shape[1], features.ids.shape[2]
+        stacked = self.variable(
+            "injected",
+            "tokens",
+            lambda: jnp.zeros((F, B, L, self.embedding_dim), jnp.float32),
+        )
+        return {k: stacked.value[i] for i, k in enumerate(self.keys)}
+
+
 def _swap_ebcs(
     module: nn.Module, path: Tuple[str, ...] = ()
-) -> Tuple[nn.Module, Dict[Tuple[str, ...], EmbeddingBagCollection]]:
-    """Recursively replace EBC fields with injection stubs.
+) -> Tuple[nn.Module, Dict[Tuple[str, ...], nn.Module]]:
+    """Recursively replace EBC/EC fields with injection stubs.
 
-    Returns (swapped module, {attribute path -> original EBC}). Attribute
-    paths match flax scope paths for field-declared submodules.
+    Returns (swapped module, {attribute path -> original module}).
+    Attribute paths match flax scope paths for field-declared submodules.
     """
-    found: Dict[Tuple[str, ...], EmbeddingBagCollection] = {}
+    from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
+
+    found: Dict[Tuple[str, ...], nn.Module] = {}
+    if isinstance(module, EmbeddingCollection):
+        from torchrec_tpu.modules.embedding_modules import (
+            embedding_names_by_table,
+        )
+
+        enames = [
+            n
+            for names in embedding_names_by_table(module.tables)
+            for n in names
+        ]
+        stub = InjectedEmbeddingCollection(
+            keys=tuple(enames),
+            embedding_dim=module.tables[0].embedding_dim,
+            tables=tuple(module.tables),
+        )
+        found[path] = module
+        return stub, found
     if isinstance(module, EmbeddingBagCollection):
         enames: List[str] = []
         dims: List[int] = []
@@ -186,26 +226,45 @@ class DistributedModelParallel:
         self.module = module
         self.swapped, self._ebcs = _swap_ebcs(module)
         if not self._ebcs:
-            raise ValueError("no EmbeddingBagCollection found in module")
+            raise ValueError(
+                "no EmbeddingBagCollection/EmbeddingCollection found in "
+                "module (embedding modules must be declared dataclass "
+                "fields, not created inside setup(), to be shardable)"
+            )
         fused_params = dict(fused_params or {})
         self.learning_rate = fused_params.pop("learning_rate", 0.01)
-        self.sharded_ebcs: Dict[str, ShardedEmbeddingBagCollection] = {}
+        self.sharded_ebcs: Dict[str, Any] = {}
+        self._kinds: Dict[str, str] = {}  # "ebc" (pooled) | "ec" (sequence)
         self._paths: Dict[str, Tuple[str, ...]] = {}
-        for path, ebc in self._ebcs.items():
+        from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
+        from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
+
+        for path, mod in self._ebcs.items():
             key = "/".join(path) if path else "<root>"
             module_plan = None
             if plan is not None:
                 module_plan = plan.get_plan_for_module("/".join(path))
             if module_plan is None:
-                module_plan = _default_plan(ebc.tables, self.env.world_size)
-            self.sharded_ebcs[key] = ShardedEmbeddingBagCollection(
-                self.env,
-                ebc.tables,
-                module_plan,
-                is_weighted=ebc.is_weighted,
-                optim=fused_optim,
-                optim_kwargs=fused_params,
-            )
+                module_plan = _default_plan(mod.tables, self.env.world_size)
+            if isinstance(mod, EmbeddingCollection):
+                self.sharded_ebcs[key] = ShardedEmbeddingCollection(
+                    self.env,
+                    mod.tables,
+                    module_plan,
+                    optim=fused_optim,
+                    optim_kwargs=fused_params,
+                )
+                self._kinds[key] = "ec"
+            else:
+                self.sharded_ebcs[key] = ShardedEmbeddingBagCollection(
+                    self.env,
+                    mod.tables,
+                    module_plan,
+                    is_weighted=mod.is_weighted,
+                    optim=fused_optim,
+                    optim_kwargs=fused_params,
+                )
+                self._kinds[key] = "ebc"
             self._paths[key] = path
         self.dense_optimizer = dense_optimizer or optax.sgd(self.learning_rate)
 
@@ -245,18 +304,35 @@ class DistributedModelParallel:
         return jax.tree.map(commit, state)
 
     def _injected(self, pooled: Dict[str, Array]) -> Dict:
-        """Build the 'injected' collection dict from per-EBC pooled values."""
+        """Build the 'injected' collection dict from per-module values
+        (EBC stubs read 'pooled' [B, sum D]; EC stubs 'tokens'
+        [F, B, L, D])."""
         inj: Dict = {}
         for key, values in pooled.items():
+            var = "tokens" if self._kinds[key] == "ec" else "pooled"
             node = inj
             path = self._paths[key]
             for p in path[:-1]:
                 node = node.setdefault(p, {})
             if path:
-                node[path[-1]] = {"pooled": values}
+                node[path[-1]] = {var: values}
             else:
-                inj["pooled"] = values
+                inj[var] = values
         return inj
+
+    def _forward_values(self, state: DMPState, key: str, sb):
+        ebc = self.sharded_ebcs[key]
+        if self._kinds[key] == "ec":
+            return ebc.forward_stacked(state.emb_states[key], sb)
+        return ebc.forward(state.emb_states[key], sb).values
+
+    def _update_module(self, state_emb, key: str, sb, d_values):
+        ebc = self.sharded_ebcs[key]
+        if self._kinds[key] == "ec":
+            return ebc.update_stacked(
+                state_emb, sb, d_values, self.learning_rate
+            )
+        return ebc.update(state_emb, sb, d_values, self.learning_rate)
 
     def _find_sparse_arg(self, args) -> PaddedSparseBatch:
         for a in args:
@@ -268,8 +344,8 @@ class DistributedModelParallel:
         """Inference/eval forward (jit-compatible)."""
         sb = self._find_sparse_arg(args)
         pooled = {
-            key: ebc.forward(state.emb_states[key], sb).values
-            for key, ebc in self.sharded_ebcs.items()
+            key: self._forward_values(state, key, sb)
+            for key in self.sharded_ebcs
         }
         return self.swapped.apply(
             {"params": state.dense_params, "injected": self._injected(pooled)},
@@ -290,8 +366,8 @@ class DistributedModelParallel:
         def train_step(state: DMPState, *args):
             sb = self._find_sparse_arg(args)
             pooled = {
-                key: ebc.forward(state.emb_states[key], sb).values
-                for key, ebc in self.sharded_ebcs.items()
+                key: self._forward_values(state, key, sb)
+                for key in self.sharded_ebcs
             }
 
             def f(dense_params, injected_pooled):
@@ -317,11 +393,10 @@ class DistributedModelParallel:
             )
             new_dense = optax.apply_updates(state.dense_params, updates)
             new_emb = {
-                key: ebc.update(
-                    state.emb_states[key], sb, d_pooled[key],
-                    self.learning_rate,
+                key: self._update_module(
+                    state.emb_states[key], key, sb, d_pooled[key]
                 )
-                for key, ebc in self.sharded_ebcs.items()
+                for key in self.sharded_ebcs
             }
             new_state = DMPState(
                 dense_params=new_dense,

@@ -1,0 +1,228 @@
+"""Sequence (unpooled) sharding strategies for EmbeddingCollection.
+
+ref: torchrec/distributed/sharding/{rw,tw,dp}_sequence_sharding.py and
+SequenceEmbeddingAllToAll (dist_data.py:841-932): per-token embedding
+rows fetched from the owning rank and redistributed back to the batch
+owner.
+
+TPU re-design: same collective skeletons as the pooled strategies
+(strategies.py) minus the pooling reduction — outputs are [F, B, L, D]
+per-token rows, pad tokens zeroed. The reference's SequenceShardingContext
+(input splits / unbucketize permutes carried between input and output
+dists) does not exist: shapes are static, routing is recomputed as cheap
+index math inside the same jit.
+
+Storage layouts are inherited from the pooled strategies, so shard/
+unshard/checkpointing work unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from torchrec_tpu.ops.fused_update import apply_fused_update
+from torchrec_tpu.parallel.strategies import (
+    AXIS,
+    BaseEmbeddingShardingStrategy,
+    DpEmbeddingSharding,
+    EmbeddingGroupState,
+    RwEmbeddingSharding,
+    TwEmbeddingSharding,
+    _token_mask,
+)
+from torchrec_tpu.parallel.types import ShardingType
+
+Array = jax.Array
+
+
+class DpSequenceEmbeddingSharding(DpEmbeddingSharding):
+    """ref: dp_sequence_sharding.py — replicated table, local per-token
+    lookup, sparse grad sync via all_gather."""
+
+    def forward(self, state, sb):
+        F, B, L = sb.ids.shape
+        mesh = self.env.mesh
+
+        def fwd(w, ids, lengths):
+            gids = ids + jnp.asarray(self.feat_row_off)[:, None, None]
+            rows = w[gids.reshape(-1)].reshape(*gids.shape, w.shape[-1])
+            mask = _token_mask(lengths, L).astype(w.dtype)
+            return rows * mask[..., None]
+
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(), P(None, AXIS), P(None, AXIS)),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths)
+
+    def update(self, state, sb, d_tokens, learning_rate):
+        F, B, L = sb.ids.shape
+        mesh = self.env.mesh
+        D = self.dim
+
+        def upd(w, opt, ids, lengths, d_out, lr):
+            gids = ids + jnp.asarray(self.feat_row_off)[:, None, None]
+            valid = _token_mask(lengths, L)
+            ids_all = lax.all_gather(gids.reshape(-1), AXIS, tiled=True)
+            grads_all = lax.all_gather(
+                d_out.reshape(-1, D), AXIS, tiled=True
+            )
+            valid_all = lax.all_gather(valid.reshape(-1), AXIS, tiled=True)
+            return apply_fused_update(
+                w, opt, ids_all, grads_all, valid_all, lr, **self.optim_kwargs
+            )
+
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(), self._opt_specs(sharded=False), P(None, AXIS),
+                      P(None, AXIS), P(None, AXIS), P()),
+            out_specs=(P(), self._opt_specs(sharded=False)),
+            check_vma=False,  # replicated by construction (see DP pooled)
+        )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
+    """ref: rw_sequence_sharding.py:81 — row shards; each token's row is
+    produced by its owning shard and summed to the batch owner via
+    psum_scatter (zeros from non-owners)."""
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+
+        def fwd(w, ids, lengths):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            local, owned = self._route(ids_g, len_g, my, L)
+            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
+            rows = rows * owned.astype(w.dtype)[..., None]
+            return lax.psum_scatter(
+                rows, AXIS, scatter_dimension=1, tiled=True
+            )  # [F, B_loc, L, D]
+
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS)),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths)
+
+    def update(self, state, sb, d_tokens, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        D = self.dim
+
+        def upd(w, opt, ids, lengths, d_out, lr):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            d_g = lax.all_gather(d_out, AXIS, axis=1, tiled=True)
+            local, owned = self._route(ids_g, len_g, my, L)
+            new_w, new_opt = apply_fused_update(
+                w[0], self._opt_local(opt),
+                local.reshape(-1), d_g.reshape(-1, D),
+                owned.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
+    """ref: tw_sequence_sharding.py — table owner looks up the global
+    batch's tokens; all_to_all returns rows to batch owners (the
+    SequenceEmbeddingAllToAll equivalent, dist_data.py:841-932)."""
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        f_max = self.f_max
+
+        def fwd(w, ids, lengths):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
+            rows = w[0][ids_m.reshape(-1)].reshape(*ids_m.shape, w.shape[-1])
+            mask = _token_mask(len_m, L).astype(w.dtype)
+            rows = rows * mask[..., None]  # [f_max, B, L, D]
+            slots = lax.all_to_all(
+                rows, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # [n*f_max, B_loc, L, D]
+            return slots[jnp.asarray(self.out_pos)]
+
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS)),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths)
+
+    def update(self, state, sb, d_tokens, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        mesh = self.env.mesh
+        D = self.dim
+        f_max = self.f_max
+
+        def upd(w, opt, ids, lengths, d_out, lr):
+            my = lax.axis_index(AXIS)
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            slots = jnp.zeros(
+                (self.n * f_max, d_out.shape[1], L, D), d_out.dtype
+            )
+            slots = slots.at[jnp.asarray(self.out_pos)].set(d_out)
+            d_m = lax.all_to_all(
+                slots, AXIS, split_axis=0, concat_axis=1, tiled=True
+            )  # [f_max, B, L, D]
+            ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
+            valid = _token_mask(len_m, L)
+            new_w, new_opt = apply_fused_update(
+                w[0], self._opt_local(opt),
+                ids_m.reshape(-1), d_m.reshape(-1, D),
+                valid.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+SEQUENCE_STRATEGY_REGISTRY = {
+    ShardingType.DATA_PARALLEL: DpSequenceEmbeddingSharding,
+    ShardingType.ROW_WISE: RwSequenceEmbeddingSharding,
+    ShardingType.TABLE_WISE: TwSequenceEmbeddingSharding,
+}
+
+
+def create_sequence_sharding_strategy(env, meta, optim, optim_kwargs=None):
+    cls = SEQUENCE_STRATEGY_REGISTRY.get(meta.sharding_type)
+    if cls is None:
+        raise NotImplementedError(
+            f"sequence sharding {meta.sharding_type} not implemented "
+            f"(reference supports TW/RW/DP for EmbeddingCollection)"
+        )
+    return cls(env, meta, optim, optim_kwargs)
