@@ -1,0 +1,178 @@
+"""Inference stack: quantized predict modules.
+
+ref: torchrec/inference/modules.py — `quantize_embeddings` (:18, eager
+dynamic quantization mapping EBC -> quant EBC), `PredictModule` (:48)
+and `PredictFactory` (:78) serving contracts; torch.package-based
+`PredictFactoryPackager` (model_packager.py:46-99).
+
+TPU re-design: a PredictModule is a jitted pure function closed over
+(dense params, quantized tables). `quantize_embeddings` consumes a
+trained DistributedModelParallel state — it unshards each embedding
+collection and row-wise-quantizes per table. Export is an npz + JSON
+manifest directory (the torch.package equivalent: everything needed to
+re-load given the model-building code)."""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchrec_tpu.modules.embedding_configs import DataType
+from torchrec_tpu.quant.embedding_modules import QuantEmbeddingBagCollection
+from torchrec_tpu.sparse import PaddedSparseBatch
+
+Array = jax.Array
+
+
+class PredictModule:
+    """Serving wrapper: dense fp32 graph + int-N embedding lookups
+    (ref: inference/modules.py:48-133)."""
+
+    def __init__(
+        self,
+        dmp,
+        dense_params: Any,
+        quant_ebcs: Dict[str, QuantEmbeddingBagCollection],
+    ):
+        self._dmp = dmp
+        self._dense_params = dense_params
+        self._quant_ebcs = quant_ebcs
+        self._jitted = jax.jit(self._forward)
+
+    def _forward(self, quant_tables, dense_params, *args):
+        sb = self._dmp._find_sparse_arg(args)
+        pooled = {}
+        for key, qebc in self._quant_ebcs.items():
+            qebc = QuantEmbeddingBagCollection(
+                qebc.tables, quant_tables[key], qebc.is_weighted,
+                qebc.max_feature_length,
+            )
+            if self._dmp._kinds[key] == "ebc":
+                pooled[key] = qebc(sb).values
+            else:
+                raise NotImplementedError(
+                    "quantized EmbeddingCollection inference not yet supported"
+                )
+        return self._dmp.swapped.apply(
+            {"params": dense_params, "injected": self._dmp._injected(pooled)},
+            *args,
+        )
+
+    def predict(self, *args):
+        """ref contract: inference_mode forward (modules.py:100-133)."""
+        quant_tables = {
+            key: q.quantized for key, q in self._quant_ebcs.items()
+        }
+        return self._jitted(quant_tables, self._dense_params, *args)
+
+    __call__ = predict
+
+    def batching_metadata(self) -> Dict[str, str]:
+        """ref: PredictModule.batching_metadata (modules.py:100)."""
+        out = {}
+        for key, q in self._quant_ebcs.items():
+            for t in q.tables:
+                for f in t.feature_names:
+                    out[f] = "sparse"
+        return out
+
+    def result_metadata(self) -> str:
+        """ref: PredictModule.result_metadata."""
+        return "dense"
+
+    # -- export (the torch.package equivalent) ---------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        flat: Dict[str, np.ndarray] = {}
+        from torchrec_tpu.optim.keyed import flatten_with_fqns
+
+        for k, v in flatten_with_fqns(self._dense_params).items():
+            flat[f"dense/{k}"] = np.asarray(v)
+        manifest = {"quant": {}}
+        for key, q in self._quant_ebcs.items():
+            manifest["quant"][key] = {}
+            for name, tab in q.quantized.items():
+                flat[f"quant/{key}/{name}/data"] = np.asarray(tab.data)
+                flat[f"quant/{key}/{name}/scale"] = np.asarray(tab.scale)
+                flat[f"quant/{key}/{name}/shift"] = np.asarray(tab.shift)
+                manifest["quant"][key][name] = {
+                    "bits": tab.bits, "dim": tab.dim
+                }
+        np.savez(os.path.join(path, "arrays.npz"), **flat)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    @staticmethod
+    def load(path: str, dmp) -> "PredictModule":
+        from torchrec_tpu.ops.quant import QuantizedTable
+        from torchrec_tpu.optim.keyed import unflatten_from_fqns
+
+        data = np.load(os.path.join(path, "arrays.npz"))
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        quant_ebcs = {}
+        for key, tabs in manifest["quant"].items():
+            quantized = {}
+            for name, meta in tabs.items():
+                quantized[name] = QuantizedTable(
+                    data=jnp.asarray(data[f"quant/{key}/{name}/data"]),
+                    scale=jnp.asarray(data[f"quant/{key}/{name}/scale"]),
+                    shift=jnp.asarray(data[f"quant/{key}/{name}/shift"]),
+                    bits=int(meta["bits"]),
+                    dim=int(meta["dim"]),
+                )
+            ebc = dmp.sharded_ebcs[key]
+            quant_ebcs[key] = QuantEmbeddingBagCollection(
+                ebc.tables, quantized, ebc.is_weighted
+            )
+        # rebuild the dense param tree from the stored FQNs (flax param
+        # trees are nested string-keyed dicts, so FQNs reconstruct exactly)
+        dense_params: Dict[str, Any] = {}
+        for k in data.files:
+            if not k.startswith("dense/"):
+                continue
+            node = dense_params
+            parts = k[len("dense/"):].split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(data[k])
+        return PredictModule(dmp, dense_params, quant_ebcs)
+
+
+class PredictFactory(abc.ABC):
+    """ref: inference/modules.py:78 — the serving entry contract."""
+
+    @abc.abstractmethod
+    def create_predict_module(self) -> PredictModule: ...
+
+    def batching_metadata(self) -> Dict[str, str]:
+        return {}
+
+    def result_metadata(self) -> str:
+        return "dense"
+
+
+def quantize_embeddings(
+    dmp,
+    state,
+    data_type: DataType = DataType.INT8,
+) -> PredictModule:
+    """Trained DMP state -> quantized PredictModule
+    (ref: inference/modules.py:18-46 quantize_embeddings +
+    examples/dlrm/dlrm_predict.py)."""
+    quant_ebcs: Dict[str, QuantEmbeddingBagCollection] = {}
+    for key, ebc in dmp.sharded_ebcs.items():
+        if dmp._kinds[key] != "ebc":
+            continue
+        weights = ebc.unshard_to_dense(state.emb_states[key])
+        quant_ebcs[key] = QuantEmbeddingBagCollection.from_float(
+            ebc.tables, weights, data_type, ebc.is_weighted
+        )
+    return PredictModule(dmp, state.dense_params, quant_ebcs)
