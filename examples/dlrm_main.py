@@ -1,0 +1,211 @@
+"""DLRM training CLI.
+
+ref: examples/dlrm/dlrm_main.py:448 — argparse CLI launched one process
+per accelerator under torchrun; here ONE process drives the whole mesh
+(JAX SPMD), so there is no launcher, no process group init, no
+LOCAL_WORLD_SIZE plumbing.
+
+Usage (synthetic smoke run):
+  python examples/dlrm_main.py --synthetic --batch_size 256 --num_batches 50
+
+Criteo (preprocessed npys, see torchrec_tpu/datasets/criteo.py):
+  python examples/dlrm_main.py --in_memory_binary_criteo_path DIR \
+      --num_embeddings_per_feature 45833188,36746,... --batch_size 8192
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_args(argv) -> argparse.Namespace:
+    # flag names follow the reference CLI (dlrm_main.py:61-206)
+    p = argparse.ArgumentParser(description="torchrec_tpu DLRM")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--num_batches", type=int, default=100,
+                   help="synthetic batches per epoch")
+    p.add_argument("--embedding_dim", type=int, default=64)
+    p.add_argument("--dense_arch_layer_sizes", type=str, default="512,256,64")
+    p.add_argument("--over_arch_layer_sizes", type=str,
+                   default="512,512,256,1")
+    p.add_argument("--num_embeddings", type=int, default=100_000)
+    p.add_argument("--num_embeddings_per_feature", type=str, default=None)
+    p.add_argument("--learning_rate", type=float, default=1.0)
+    p.add_argument("--dense_learning_rate", type=float, default=0.1)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--in_memory_binary_criteo_path", type=str, default=None)
+    p.add_argument("--undersampled_rate", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tpu_gen", type=str, default="v5e")
+    p.add_argument("--shuffle_batches", action="store_true")
+    p.add_argument("--validation_freq_within_epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchrec_tpu.datasets.criteo import (
+        CAT_FEATURE_COUNT,
+        DEFAULT_CAT_NAMES,
+        INT_FEATURE_COUNT,
+        InMemoryBinaryCriteoIterDataPipe,
+    )
+    from torchrec_tpu.datasets.random import RandomRecDataset
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.ops.fused_update import EmbOptimType
+    from torchrec_tpu.parallel import DistributedModelParallel, ShardingEnv
+    from torchrec_tpu.parallel.train_pipeline import TrainPipeline
+    from torchrec_tpu.planner import EmbeddingShardingPlanner, Topology
+    from torchrec_tpu.utils.metrics import accuracy, auroc
+
+    env = ShardingEnv.from_devices()
+    world = env.world_size
+
+    if args.num_embeddings_per_feature:
+        rows_per_feature = [
+            int(x) for x in args.num_embeddings_per_feature.split(",")
+        ]
+    else:
+        rows_per_feature = [args.num_embeddings] * CAT_FEATURE_COUNT
+
+    keys = DEFAULT_CAT_NAMES[: len(rows_per_feature)]
+    tables = tuple(
+        EmbeddingBagConfig(
+            num_embeddings=rows_per_feature[i],
+            embedding_dim=args.embedding_dim,
+            name=f"t_{keys[i]}",
+            feature_names=[keys[i]],
+        )
+        for i in range(len(keys))
+    )
+    dense_sizes = tuple(int(x) for x in args.dense_arch_layer_sizes.split(","))
+    over_sizes = tuple(int(x) for x in args.over_arch_layer_sizes.split(","))
+    model = DLRMTrain(
+        dlrm=DLRM(
+            embedding_bag_collection=EmbeddingBagCollection(
+                tables=tables, max_feature_length=1
+            ),
+            dense_in_features=INT_FEATURE_COUNT,
+            dense_arch_layer_sizes=dense_sizes,
+            over_arch_layer_sizes=over_sizes,
+        )
+    )
+
+    # plan via the cost-model planner (ref: DMP's collective_plan default)
+    topo = Topology(
+        world_size=world, tpu_gen=args.tpu_gen, batch_size=args.batch_size
+    )
+    plan = EmbeddingShardingPlanner(topo).plan(
+        tables, module_path="dlrm/embedding_bag_collection"
+    )
+    dmp = DistributedModelParallel(
+        model,
+        env=env,
+        plan=plan,
+        fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+        fused_params={"learning_rate": args.learning_rate, "eps": args.eps},
+        dense_optimizer=optax.sgd(args.dense_learning_rate),
+    )
+
+    def make_loader(stage: str):
+        if args.in_memory_binary_criteo_path:
+            import glob
+            import os
+
+            d = sorted(glob.glob(os.path.join(
+                args.in_memory_binary_criteo_path, "*_dense.npy")))
+            s = sorted(glob.glob(os.path.join(
+                args.in_memory_binary_criteo_path, "*_sparse.npy")))
+            l = sorted(glob.glob(os.path.join(
+                args.in_memory_binary_criteo_path, "*_labels.npy")))
+            return InMemoryBinaryCriteoIterDataPipe(
+                d, s, l,
+                batch_size=args.batch_size,
+                hashes=rows_per_feature,
+                shuffle_batches=args.shuffle_batches and stage == "train",
+                seed=args.seed,
+            )
+        return RandomRecDataset(
+            keys=keys,
+            batch_size=args.batch_size,
+            hash_sizes=rows_per_feature,
+            ids_per_feature=1,
+            num_dense=INT_FEATURE_COUNT,
+            num_batches=args.num_batches,
+            manual_seed=args.seed + (0 if stage == "train" else 1),
+        )
+
+    def batch_args(batch):
+        return (batch.dense_features, batch.sparse_features, batch.labels)
+
+    raw_step = dmp.make_train_step()
+
+    def train_step(state, batch):
+        state, loss, aux = raw_step(state, *batch_args(batch))
+        return state, loss, aux
+
+    eval_fwd = jax.jit(
+        lambda state, batch: dmp.forward(state, *batch_args(batch))
+    )
+
+    first = next(iter(make_loader("train")))
+    state = dmp.init(jax.random.PRNGKey(args.seed), *batch_args(first))
+
+    results = {}
+    for epoch in range(args.epochs):
+        pipe = TrainPipeline(train_step, state)
+        it = iter(make_loader("train"))
+        n, t0 = 0, time.perf_counter()
+        losses = []
+        while True:
+            try:
+                loss, _ = pipe.progress(it)
+            except StopIteration:
+                break
+            n += 1
+            if n % 50 == 0:
+                losses.append(float(loss))
+        state = pipe.state
+        jax.block_until_ready(state.step)
+        dt = time.perf_counter() - t0
+        throughput = n * args.batch_size / dt
+        print(
+            f"epoch {epoch}: {n} it, {throughput:,.0f} examples/s, "
+            f"loss tail {losses[-3:] if losses else [float(loss)]}"
+        )
+
+        # evaluation (ref: _evaluate, dlrm_main.py:209-269)
+        scores, labels = [], []
+        for batch in make_loader("val"):
+            _, (_, logits, lab) = eval_fwd(state, batch)
+            scores.append(np.asarray(jax.nn.sigmoid(logits)))
+            labels.append(np.asarray(lab))
+        scores = np.concatenate(scores)
+        labels = np.concatenate(labels)
+        results = {
+            "auroc": auroc(scores, labels),
+            "accuracy": accuracy(scores, labels),
+            "throughput": throughput,
+        }
+        print(
+            f"epoch {epoch}: val AUROC {results['auroc']:.5f} "
+            f"accuracy {results['accuracy']:.5f}"
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main()

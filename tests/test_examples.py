@@ -1,0 +1,81 @@
+"""Example smoke tests (ref: examples/dlrm/tests/test_dlrm_main.py,
+examples/bert4rec tests, test_installation.py)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")  # repo root for examples/
+
+from torchrec_tpu.utils.metrics import accuracy, auroc, hr_at_k, ndcg_at_k
+
+
+def test_auroc_known_values():
+    assert auroc(np.asarray([0.9, 0.8, 0.3, 0.2]),
+                 np.asarray([1, 1, 0, 0])) == 1.0
+    assert auroc(np.asarray([0.2, 0.3, 0.8, 0.9]),
+                 np.asarray([1, 1, 0, 0])) == 0.0
+    assert auroc(np.asarray([0.5, 0.5, 0.5, 0.5]),
+                 np.asarray([1, 1, 0, 0])) == pytest.approx(0.5)
+
+
+def test_auroc_matches_sklearn_style_reference():
+    rng = np.random.RandomState(0)
+    scores = rng.rand(500)
+    labels = (rng.rand(500) > 0.6).astype(int)
+    # brute-force pairwise reference
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    ref = ((pos[:, None] > neg[None, :]).sum()
+           + 0.5 * (pos[:, None] == neg[None, :]).sum()) / (
+        len(pos) * len(neg))
+    assert auroc(scores, labels) == pytest.approx(ref)
+
+
+def test_hr_ndcg():
+    scores = np.asarray([[0.1, 0.9, 0.5], [0.9, 0.1, 0.5]])
+    targets = np.asarray([1, 2])
+    assert hr_at_k(scores, targets, 1) == 0.5
+    assert hr_at_k(scores, targets, 2) == 1.0
+    # row0: target ranked 1st -> 1.0; row1: target 2nd -> 1/log2(3)
+    assert ndcg_at_k(scores, targets, 3) == pytest.approx(
+        (1.0 + 1.0 / np.log2(3)) / 2
+    )
+
+
+def test_accuracy():
+    assert accuracy(np.asarray([0.9, 0.1]), np.asarray([1, 1])) == 0.5
+
+
+def test_dlrm_main_smoke():
+    from examples.dlrm_main import main
+
+    r = main([
+        "--synthetic", "--batch_size", "64", "--num_batches", "5",
+        "--embedding_dim", "16", "--dense_arch_layer_sizes", "16,16",
+        "--over_arch_layer_sizes", "16,1", "--num_embeddings", "100",
+    ])
+    assert np.isfinite(r["auroc"]) and r["throughput"] > 0
+
+
+def test_bert4rec_main_smoke():
+    from examples.bert4rec_main import main
+
+    r = main([
+        "--synthetic", "--num_batches", "4", "--batch_size", "8",
+        "--max_len", "8", "--emb_dim", "16", "--vocab_size", "50",
+        "--nhead", "2", "--num_layers", "1",
+    ])
+    assert 0.0 <= r["hr@10"] <= 1.0
+
+
+def test_bert4rec_main_dp_mode():
+    from examples.bert4rec_main import main
+
+    r = main([
+        "--synthetic", "--num_batches", "2", "--batch_size", "8",
+        "--max_len", "8", "--emb_dim", "16", "--vocab_size", "50",
+        "--nhead", "2", "--num_layers", "1", "--mode", "dp",
+    ])
+    assert 0.0 <= r["hr@10"] <= 1.0
