@@ -1,0 +1,463 @@
+"""Hierarchical sharding: TABLE_ROW_WISE (TWRW) and TABLE_COLUMN_WISE (TWCW).
+
+ref: torchrec/distributed/sharding/twrw_sharding.py:253-484 and
+twcw_sharding.py:16-34 — a table is pinned to one HOST; its rows (TWRW)
+or columns (TWCW) are split across that host's local devices, so the
+heavy reduce/concat traffic rides intra-host links (ICI) and only the
+final batch-routing crosses hosts (the reference's intra-node
+reduce-scatter + cross-node all-to-all over the two-level process groups
+of comm.py:102-150).
+
+TPU re-design:
+* One FLAT mesh axis; the host/local split is expressed with
+  `axis_index_groups`: intra groups [[h*Lc + l for l], ...] and cross
+  groups [[h*Lc + l for h], ...]. On hardware, mesh device order must
+  place consecutive ranks on the same host so intra groups ride ICI.
+* The reference's "staggered shuffle" (_get_recat stagger,
+  dist_data.py:40-118) becomes a static transpose of the all_gathered
+  batch: gathered blocks are viewed [H, Lc] and transposed to [Lc, H] so
+  that after the intra-scatter (chunk l) and cross-split (sub-chunk h),
+  device (h, l) ends up holding exactly its canonical batch block
+  h*Lc + l. No runtime permutation tensors.
+
+Storage: [n_dev, rows_loc, cols_loc] like every other strategy, so
+shard/unshard/checkpoint/fused-update machinery is shared.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from torchrec_tpu.ops.fused_update import apply_fused_update
+from torchrec_tpu.parallel.strategies import (
+    AXIS,
+    BaseEmbeddingShardingStrategy,
+    EmbeddingGroupState,
+    _cdiv,
+    _token_mask,
+)
+from torchrec_tpu.parallel.types import ShardingType
+
+Array = jax.Array
+
+
+class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
+    """Table pinned to a host; rows split over its local devices
+    (ref: twrw_sharding.py:114-163,253-484)."""
+
+    def _build(self) -> None:
+        n = self.n
+        Lc = self.env.local_size
+        if n % Lc:
+            raise ValueError(f"world {n} not divisible by local size {Lc}")
+        H = n // Lc
+        self.H, self.Lc = H, Lc
+        self.intra_groups = [
+            [h * Lc + l for l in range(Lc)] for h in range(H)
+        ]
+        self.cross_groups = [
+            [h * Lc + l for h in range(H)] for l in range(Lc)
+        ]
+
+        per_host: List[List[int]] = [[] for _ in range(H)]
+        for ti, t in enumerate(self.meta.tables):
+            if not (0 <= t.rank < H):
+                raise ValueError(
+                    f"table {t.name} pinned to host {t.rank} outside "
+                    f"{H} hosts"
+                )
+            per_host[t.rank].append(ti)
+
+        feats_of_table: List[List[int]] = [[] for _ in self.meta.tables]
+        for fi, ti in enumerate(self.meta.feature_table):
+            feats_of_table[ti].append(fi)
+
+        self.f_max = max(
+            (sum(len(feats_of_table[ti]) for ti in tids)
+             for tids in per_host),
+            default=1,
+        ) or 1
+        # per-table row shard size over Lc local devices
+        self.table_sr = np.asarray(
+            [_cdiv(t.rows, Lc) for t in self.meta.tables], np.int32
+        )
+        self.rows_loc = max(
+            (sum(int(self.table_sr[ti]) for ti in tids)
+             for tids in per_host),
+            default=1,
+        ) or 1
+
+        F = len(self.meta.features)
+        self.host_feats = np.zeros((H, self.f_max), np.int32)
+        self.host_feat_valid = np.zeros((H, self.f_max), bool)
+        self.host_feat_sr = np.ones((H, self.f_max), np.int32)
+        self.host_feat_off = np.zeros((H, self.f_max), np.int32)
+        self.out_pos = np.zeros((F,), np.int32)
+        self.per_host = per_host
+        self.table_local_off: Dict[int, int] = {}
+        for h, tids in enumerate(per_host):
+            slot = 0
+            off = 0
+            for ti in tids:
+                self.table_local_off[ti] = off
+                for fi in feats_of_table[ti]:
+                    self.host_feats[h, slot] = fi
+                    self.host_feat_valid[h, slot] = True
+                    self.host_feat_sr[h, slot] = self.table_sr[ti]
+                    self.host_feat_off[h, slot] = off
+                    self.out_pos[fi] = h * self.f_max + slot
+                    slot += 1
+                off += int(self.table_sr[ti])
+
+    def weights_shape(self):
+        return (self.n, self.rows_loc, self.dim)
+
+    def shard_from_dense(self, dense):
+        arr = np.zeros((self.n, self.rows_loc, self.dim), np.float32)
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                sr = int(self.table_sr[ti])
+                off = self.table_local_off[ti]
+                w = np.asarray(dense[t.name])
+                pad = sr * self.Lc - t.rows
+                if pad:
+                    w = np.concatenate(
+                        [w, np.zeros((pad, t.dim), w.dtype)], axis=0
+                    )
+                for l in range(self.Lc):
+                    arr[h * self.Lc + l, off : off + sr] = (
+                        w[l * sr : (l + 1) * sr]
+                    )
+        return jax.device_put(
+            jnp.asarray(arr), self._sharding(P(AXIS))
+        )
+
+    def unshard_to_dense(self, weights):
+        w = np.asarray(weights)
+        out = {}
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                sr = int(self.table_sr[ti])
+                off = self.table_local_off[ti]
+                parts = [
+                    w[h * self.Lc + l, off : off + sr]
+                    for l in range(self.Lc)
+                ]
+                out[t.name] = np.concatenate(parts)[: t.rows]
+        return out
+
+    # -- stagger helpers -----------------------------------------------------
+
+    def _stagger(self, x: Array, batch_axis: int) -> Array:
+        """Reorder gathered batch blocks [H, Lc] -> [Lc, H] so downstream
+        intra-scatter + cross-split deliver canonical blocks."""
+        H, Lc = self.H, self.Lc
+        shape = x.shape
+        B = shape[batch_axis]
+        bn = B // self.n
+        pre = shape[:batch_axis]
+        post = shape[batch_axis + 1:]
+        x = x.reshape(*pre, H, Lc, bn, *post)
+        perm = list(range(x.ndim))
+        a = len(pre)
+        perm[a], perm[a + 1] = perm[a + 1], perm[a]
+        return x.transpose(perm).reshape(*shape)
+
+    def _mine(self, ids_s, len_s, psw_s, h):
+        feats = jnp.asarray(self.host_feats)[h]
+        fvalid = jnp.asarray(self.host_feat_valid)[h]
+        ids_m = ids_s[feats]
+        len_m = len_s[feats] * fvalid[:, None].astype(len_s.dtype)
+        psw_m = None if psw_s is None else psw_s[feats]
+        mean_m = jnp.asarray(self.meta.feature_pooling_mean)[feats]
+        sr = jnp.asarray(self.host_feat_sr)[h][:, None, None]
+        off = jnp.asarray(self.host_feat_off)[h][:, None, None]
+        return ids_m, len_m, psw_m, mean_m, sr, off
+
+    def _coeff(self, len_m, L, mean_m, psw_m, dtype):
+        coeff = _token_mask(len_m, L).astype(dtype)
+        if psw_m is not None:
+            coeff = coeff * psw_m.astype(dtype)
+        denom = jnp.maximum(len_m.astype(dtype), 1.0)[:, :, None]
+        return jnp.where(mean_m[:, None, None], coeff / denom, coeff)
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        has_w = sb.weights is not None
+        Lc = self.Lc
+
+        def fwd(w, ids, lengths, psw):
+            my = lax.axis_index(AXIS)
+            h, l = my // Lc, my % Lc
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                if has_w else None
+            )
+            ids_s = self._stagger(ids_g, 1)
+            len_s = self._stagger(len_g, 1)
+            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+            ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
+                ids_s, len_s, psw_s, h
+            )
+            owner_l = ids_m // sr
+            local = ids_m % sr + off
+            owned = (owner_l == l) & _token_mask(len_m, L)
+            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+            coeff = coeff * owned.astype(w.dtype)
+            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
+            partial = jnp.einsum("fbld,fbl->fbd", rows, coeff)
+            # intra-host reduce-scatter (ICI), ref twrw_sharding.py:441-484
+            intra = lax.psum_scatter(
+                partial, AXIS, scatter_dimension=1, tiled=True,
+                axis_index_groups=self.intra_groups,
+            )  # [f_max, B/Lc, D]
+            # cross-host all_to_all routes feature blocks to batch owners
+            cross = lax.all_to_all(
+                intra, AXIS, split_axis=1, concat_axis=0, tiled=True,
+                axis_index_groups=self.cross_groups,
+            )  # [H*f_max, B/n, D]
+            return cross[jnp.asarray(self.out_pos)]
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths, psw)
+
+    def update(self, state, sb, d_pooled, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        has_w = sb.weights is not None
+        Lc = self.Lc
+        D = self.dim
+        f_max = self.f_max
+
+        def upd(w, opt, ids, lengths, psw, d_out, lr):
+            my = lax.axis_index(AXIS)
+            h, l = my // Lc, my % Lc
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                if has_w else None
+            )
+            ids_s = self._stagger(ids_g, 1)
+            len_s = self._stagger(len_g, 1)
+            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+            # route cotangent back: canonical -> slots -> cross -> intra
+            slots = jnp.zeros(
+                (self.H * f_max, d_out.shape[1], D), d_out.dtype
+            ).at[jnp.asarray(self.out_pos)].set(d_out)
+            d1 = lax.all_to_all(
+                slots, AXIS, split_axis=0, concat_axis=1, tiled=True,
+                axis_index_groups=self.cross_groups,
+            )  # [f_max, B/Lc, D]
+            d_full = lax.all_gather(
+                d1, AXIS, axis=1, tiled=True,
+                axis_index_groups=self.intra_groups,
+            )  # [f_max, B, D] staggered order (matches ids_s)
+            ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
+                ids_s, len_s, psw_s, h
+            )
+            owner_l = ids_m // sr
+            local = ids_m % sr + off
+            owned = (owner_l == l) & _token_mask(len_m, L)
+            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+            row_grads = d_full[:, :, None, :] * coeff[:, :, :, None]
+            new_w, new_opt = apply_fused_update(
+                w[0], self._opt_local(opt),
+                local.reshape(-1), row_grads.reshape(-1, D),
+                owned.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        psw_spec = P(None, AXIS) if has_w else P()
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), psw_spec, P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
+    """Table pinned to a host; columns split over its local devices
+    (ref: twcw_sharding.py:16-34 — CW restricted to one host). Each local
+    column shard keeps independent rowwise momentum (virtual tables,
+    as in plain CW)."""
+
+    def _build(self) -> None:
+        super()._build()
+        if self.dim % self.Lc:
+            raise ValueError(
+                f"TWCW needs dim {self.dim} divisible by local size {self.Lc}"
+            )
+        self.cols_loc = self.dim // self.Lc
+        # rows are NOT split: local offset = concat of full tables per host
+        self.rows_loc = max(
+            (sum(self.meta.tables[ti].rows for ti in tids)
+             for tids in self.per_host),
+            default=1,
+        ) or 1
+        off_map: Dict[int, int] = {}
+        for h, tids in enumerate(self.per_host):
+            off = 0
+            for ti in tids:
+                off_map[ti] = off
+                off += self.meta.tables[ti].rows
+        self.table_local_off = off_map
+        for h, tids in enumerate(self.per_host):
+            slot = 0
+            for ti in tids:
+                for _ in range(
+                    int((self.meta.feature_table == ti).sum())
+                ):
+                    self.host_feat_off[h, slot] = off_map[ti]
+                    self.host_feat_sr[h, slot] = 1  # unused
+                    slot += 1
+
+    def weights_shape(self):
+        return (self.n, self.rows_loc, self.cols_loc)
+
+    def shard_from_dense(self, dense):
+        arr = np.zeros((self.n, self.rows_loc, self.cols_loc), np.float32)
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                off = self.table_local_off[ti]
+                w = np.asarray(dense[t.name])
+                for l in range(self.Lc):
+                    arr[h * self.Lc + l, off : off + t.rows] = (
+                        w[:, l * self.cols_loc : (l + 1) * self.cols_loc]
+                    )
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+
+    def unshard_to_dense(self, weights):
+        w = np.asarray(weights)
+        out = {}
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                off = self.table_local_off[ti]
+                cols = [
+                    w[h * self.Lc + l, off : off + t.rows]
+                    for l in range(self.Lc)
+                ]
+                out[t.name] = np.concatenate(cols, axis=1)
+        return out
+
+    def forward(self, state, sb):
+        F, B_loc, L = sb.ids.shape
+        has_w = sb.weights is not None
+        Lc = self.Lc
+
+        def fwd(w, ids, lengths, psw):
+            my = lax.axis_index(AXIS)
+            h = my // Lc
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                if has_w else None
+            )
+            ids_s = self._stagger(ids_g, 1)
+            len_s = self._stagger(len_g, 1)
+            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+            ids_m, len_m, psw_m, mean_m, _, off = self._mine(
+                ids_s, len_s, psw_s, h
+            )
+            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+            local = ids_m + off
+            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
+            pooled = jnp.einsum("fbld,fbl->fbd", rows, coeff)  # [f,B,D/Lc]
+            # intra-host: swap batch-sharding for column-concat (ICI)
+            intra = lax.all_to_all(
+                pooled, AXIS, split_axis=1, concat_axis=2, tiled=True,
+                axis_index_groups=self.intra_groups,
+            )  # [f_max, B/Lc, D]
+            cross = lax.all_to_all(
+                intra, AXIS, split_axis=1, concat_axis=0, tiled=True,
+                axis_index_groups=self.cross_groups,
+            )  # [H*f_max, B/n, D]
+            return cross[jnp.asarray(self.out_pos)]
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+        )(state.weights, sb.ids, sb.lengths, psw)
+
+    def update(self, state, sb, d_pooled, learning_rate):
+        F, B_loc, L = sb.ids.shape
+        has_w = sb.weights is not None
+        Lc = self.Lc
+        f_max = self.f_max
+        cols_loc = self.cols_loc
+
+        def upd(w, opt, ids, lengths, psw, d_out, lr):
+            my = lax.axis_index(AXIS)
+            h = my // Lc
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                if has_w else None
+            )
+            ids_s = self._stagger(ids_g, 1)
+            len_s = self._stagger(len_g, 1)
+            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+            slots = jnp.zeros(
+                (self.H * f_max, d_out.shape[1], self.dim), d_out.dtype
+            ).at[jnp.asarray(self.out_pos)].set(d_out)
+            d1 = lax.all_to_all(
+                slots, AXIS, split_axis=0, concat_axis=1, tiled=True,
+                axis_index_groups=self.cross_groups,
+            )  # [f_max, B/Lc, D]
+            d2 = lax.all_to_all(
+                d1, AXIS, split_axis=2, concat_axis=1, tiled=True,
+                axis_index_groups=self.intra_groups,
+            )  # [f_max, B, D/Lc] staggered
+            ids_m, len_m, psw_m, mean_m, _, off = self._mine(
+                ids_s, len_s, psw_s, h
+            )
+            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+            row_grads = d2[:, :, None, :] * coeff[:, :, :, None]
+            valid = _token_mask(len_m, L)
+            local = ids_m + off
+            new_w, new_opt = apply_fused_update(
+                w[0], self._opt_local(opt),
+                local.reshape(-1), row_grads.reshape(-1, cols_loc),
+                valid.reshape(-1), lr, **self.optim_kwargs,
+            )
+            return new_w[None], self._opt_relocal(new_opt)
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        psw_spec = P(None, AXIS) if has_w else P()
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
+                      P(None, AXIS), psw_spec, P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+        )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)

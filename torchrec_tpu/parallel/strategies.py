@@ -765,12 +765,31 @@ STRATEGY_REGISTRY = {
 }
 
 
+def _register_hierarchical():
+    # deferred to avoid a circular import at module load
+    from torchrec_tpu.parallel.hierarchical_strategies import (
+        TwCwEmbeddingSharding,
+        TwRwEmbeddingSharding,
+    )
+
+    STRATEGY_REGISTRY.setdefault(
+        ShardingType.TABLE_ROW_WISE, TwRwEmbeddingSharding
+    )
+    STRATEGY_REGISTRY.setdefault(
+        ShardingType.TABLE_COLUMN_WISE, TwCwEmbeddingSharding
+    )
+
+
 def create_sharding_strategy(
     env: ShardingEnv,
     meta: GroupMeta,
     optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
     optim_kwargs: Optional[dict] = None,
 ) -> BaseEmbeddingShardingStrategy:
+    if meta.sharding_type in (
+        ShardingType.TABLE_ROW_WISE, ShardingType.TABLE_COLUMN_WISE
+    ):
+        _register_hierarchical()
     cls = STRATEGY_REGISTRY.get(meta.sharding_type)
     if cls is None:
         raise NotImplementedError(
