@@ -1,0 +1,181 @@
+"""Pallas kernel parity vs the XLA reference implementations.
+
+Runs in interpreter mode on CPU (tests/conftest.py forces a CPU mesh), so
+kernel *logic* is CI-checked; performance is exercised on real TPU by
+tools/bench_kernels.py --impl pallas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrec_tpu.ops.embedding import PoolingMode, batched_embedding_lookup
+from torchrec_tpu.ops.fused_update import (
+    EmbOptimType,
+    apply_fused_update,
+    dedup_row_grads,
+    init_fused_optimizer_state,
+)
+from torchrec_tpu.ops import pallas_embedding as pe
+
+R, D = 500, 128
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture
+def weights(rng):
+    return jnp.asarray(rng.randn(R, D).astype(np.float32))
+
+
+def test_gather_rows(weights, rng):
+    ids = jnp.asarray(rng.randint(0, R, size=(300,)), jnp.int32)
+    out = pe.gather_rows(weights, ids, interpret=True)
+    np.testing.assert_allclose(out, weights[ids])
+
+
+def test_gather_rows_unaligned_n(weights, rng):
+    ids = jnp.asarray(rng.randint(0, R, size=(37,)), jnp.int32)
+    out = pe.gather_rows(weights, ids, T=16, interpret=True)
+    np.testing.assert_allclose(out, weights[ids])
+
+
+@pytest.mark.parametrize("L", [1, 3])
+def test_tbe_lookup_pooled(weights, rng, L):
+    NB = 50
+    ids = jnp.asarray(rng.randint(0, R, size=(NB, L)), jnp.int32)
+    coeff = jnp.asarray(rng.rand(NB, L).astype(np.float32))
+    out = pe.tbe_lookup_pooled(weights, ids, coeff, interpret=True)
+    ref = jnp.einsum("nld,nl->nd", weights[ids], coeff)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_tbe_lookup_vjp(weights, rng):
+    NB, L = 20, 2
+    ids = jnp.asarray(rng.randint(0, R, size=(NB, L)), jnp.int32)
+    coeff = jnp.asarray(rng.rand(NB, L).astype(np.float32))
+
+    def f_pallas(w, c):
+        return pe.tbe_lookup_pooled(w, ids, c, True).sum()
+
+    def f_ref(w, c):
+        return jnp.einsum("nld,nl->nd", w[ids], c).sum()
+
+    gw_p, gc_p = jax.grad(f_pallas, argnums=(0, 1))(weights, coeff)
+    gw_r, gc_r = jax.grad(f_ref, argnums=(0, 1))(weights, coeff)
+    np.testing.assert_allclose(gw_p, gw_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gc_p, gc_r, rtol=1e-5, atol=1e-5)
+
+
+def _unique_ids(rng, n):
+    ids = rng.choice(R, size=n, replace=False).astype(np.int32)
+    return jnp.asarray(np.sort(ids))
+
+
+def _xla_update(weights, optim, uids, g, lr, **kw):
+    """apply_fused_update on pre-unique ids (its dedup is then a no-op)."""
+    opt = init_fused_optimizer_state(R, D, optim)
+    if "momentum1" in kw:
+        opt = opt.replace(momentum1=kw.pop("momentum1"))
+    if "momentum2" in kw:
+        opt = opt.replace(momentum2=kw.pop("momentum2"))
+    if "step" in kw:
+        opt = opt.replace(step=kw.pop("step"))
+    valid = uids < R
+    new_w, new_opt = apply_fused_update(
+        weights, opt, uids, g, valid, lr, **kw
+    )
+    return new_w, new_opt
+
+
+def test_fused_sgd(weights, rng):
+    uids = _unique_ids(rng, 100)
+    g = jnp.asarray(rng.randn(100, D).astype(np.float32))
+    new_w = pe.fused_update_sgd(weights, uids, g, 0.05, interpret=True)
+    ref_w, _ = _xla_update(weights, EmbOptimType.SGD, uids, g, 0.05)
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_rowwise_adagrad(weights, rng):
+    uids = _unique_ids(rng, 100)
+    g = jnp.asarray(rng.randn(100, D).astype(np.float32))
+    m = jnp.asarray(rng.rand(R).astype(np.float32))
+    new_w, new_m = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, g, 0.05, interpret=True
+    )
+    ref_w, ref_opt = _xla_update(
+        weights, EmbOptimType.ROWWISE_ADAGRAD, uids, g, 0.05, momentum1=m
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(new_m, ref_opt.momentum1, rtol=1e-6)
+
+
+def test_fused_rowwise_adagrad_weight_decay(weights, rng):
+    uids = _unique_ids(rng, 64)
+    g = jnp.asarray(rng.randn(64, D).astype(np.float32))
+    m = jnp.asarray(rng.rand(R).astype(np.float32))
+    new_w, new_m = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, g, 0.05, weight_decay=0.01, interpret=True
+    )
+    ref_w, ref_opt = _xla_update(
+        weights, EmbOptimType.ROWWISE_ADAGRAD, uids, g, 0.05,
+        momentum1=m, weight_decay=0.01,
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(new_m, ref_opt.momentum1, rtol=1e-6)
+
+
+def test_fused_adagrad(weights, rng):
+    uids = _unique_ids(rng, 100)
+    g = jnp.asarray(rng.randn(100, D).astype(np.float32))
+    m = jnp.asarray(rng.rand(R, D).astype(np.float32))
+    new_w, new_m = pe.fused_update_adagrad(
+        weights, m, uids, g, 0.05, interpret=True
+    )
+    ref_w, ref_opt = _xla_update(
+        weights, EmbOptimType.ADAGRAD, uids, g, 0.05, momentum1=m
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(new_m, ref_opt.momentum1, rtol=1e-6)
+
+
+def test_fused_adam(weights, rng):
+    uids = _unique_ids(rng, 100)
+    g = jnp.asarray(rng.randn(100, D).astype(np.float32))
+    m1 = jnp.asarray(rng.randn(R, D).astype(np.float32)) * 0.01
+    m2 = jnp.asarray(rng.rand(R, D).astype(np.float32)) * 0.01
+    step = jnp.asarray(5, jnp.int32)
+    new_w, new_m1, new_m2 = pe.fused_update_adam(
+        weights, m1, m2, uids, g, 0.05, step + 1, interpret=True
+    )
+    ref_w, ref_opt = _xla_update(
+        weights, EmbOptimType.ADAM, uids, g, 0.05,
+        momentum1=m1, momentum2=m2, step=step,
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(new_m1, ref_opt.momentum1, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(new_m2, ref_opt.momentum2, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_update_with_dedup_slack(weights, rng):
+    """End-to-end: dedup_row_grads output (with slack sentinels) feeds the
+    pallas kernel; sentinel slots must not touch any row."""
+    n = 64
+    flat_ids = jnp.asarray(rng.randint(0, R, size=(n,)), jnp.int32)
+    grads = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    uids, sums = dedup_row_grads(flat_ids, grads, valid, R)
+    m = jnp.zeros((R,), jnp.float32)
+    new_w, new_m = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, sums, 0.1, interpret=True
+    )
+    opt = init_fused_optimizer_state(R, D, EmbOptimType.ROWWISE_ADAGRAD)
+    ref_w, ref_opt = apply_fused_update(
+        weights, opt, flat_ids, grads, valid, 0.1
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(new_m, ref_opt.momentum1, rtol=1e-6)

@@ -25,6 +25,7 @@ Design (TPU-first, not a CUDA translation):
 from __future__ import annotations
 
 import enum
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -42,6 +43,59 @@ class PoolingMode(enum.Enum):
     NONE = "none"
 
 
+# ---------------------------------------------------------------------------
+# Implementation dispatch: Pallas DMA kernels on TPU, XLA gather elsewhere.
+# Override with TORCHREC_TPU_EMB_IMPL={auto,xla,pallas}.
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas(dtype, D: int, L: int, impl: str = "auto") -> bool:
+    impl = os.environ.get("TORCHREC_TPU_EMB_IMPL", impl)
+    if impl == "xla":
+        return False
+    if impl == "pallas":
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+        # lane slices into the row scratch must stay 128-aligned
+        and (L == 1 or D % 128 == 0)
+    )
+
+
+def pooled_lookup(
+    weights: Array, ids: Array, coeff: Array, impl: str = "auto"
+) -> Array:
+    """Fused gather+pool: out[..., :] = sum_l coeff[..., l] * W[ids[..., l]].
+
+    weights [R, D]; ids [..., L] global row ids; coeff [..., L] pooling
+    coefficients (0 where invalid). Returns [..., D]. This is THE embedding
+    forward every sharding strategy calls on its local shard (the TBE
+    forward, ref batched_embedding_kernel.py:410-421).
+    """
+    lead = ids.shape[:-1]
+    L = ids.shape[-1]
+    D = weights.shape[1]
+    if _use_pallas(weights.dtype, D, L, impl):
+        from torchrec_tpu.ops import pallas_embedding as pe
+
+        out = pe.tbe_lookup_pooled(
+            weights, ids.reshape(-1, L), coeff.reshape(-1, L)
+        )
+        return out.reshape(*lead, D)
+    rows = weights[ids.reshape(-1)].reshape(*lead, L, D)
+    return jnp.einsum("...ld,...l->...d", rows, coeff.astype(weights.dtype))
+
+
+def lookup_rows(weights: Array, flat_ids: Array, impl: str = "auto") -> Array:
+    """Row gather W[flat_ids] -> [N, D] (the PoolingMode.NONE path)."""
+    if _use_pallas(weights.dtype, weights.shape[1], 1, impl):
+        from torchrec_tpu.ops import pallas_embedding as pe
+
+        return pe.gather_rows(weights, flat_ids)
+    return weights[flat_ids]
+
+
 def embedding_bag_lookup(
     weights: Array,
     ids: Array,
@@ -55,17 +109,16 @@ def embedding_bag_lookup(
     lengths: [B]. Returns [B, D] pooled ([B, L, D] for NONE).
     """
     B, L = ids.shape
-    rows = weights[ids]  # [B, L, D] gather
     mask = (jnp.arange(L)[None, :] < lengths[:, None]).astype(weights.dtype)
     if per_sample_weights is not None:
         mask = mask * per_sample_weights.astype(weights.dtype)
     if pooling is PoolingMode.NONE:
+        rows = lookup_rows(weights, ids.reshape(-1)).reshape(B, L, -1)
         return rows * mask[:, :, None]
-    pooled = jnp.einsum("bld,bl->bd", rows, mask)
     if pooling is PoolingMode.MEAN:
         denom = jnp.maximum(lengths.astype(weights.dtype), 1.0)
-        pooled = pooled / denom[:, None]
-    return pooled
+        mask = mask / denom[:, None]
+    return pooled_lookup(weights, ids, mask)
 
 
 def batched_embedding_lookup(
@@ -88,19 +141,20 @@ def batched_embedding_lookup(
     """
     F, B, L = ids.shape
     global_ids = ids + row_offsets[:, None, None]
-    rows = weights[global_ids.reshape(-1)].reshape(F, B, L, -1)
     mask = (jnp.arange(L)[None, None, :] < lengths[:, :, None]).astype(
         weights.dtype
     )
     if per_sample_weights is not None:
         mask = mask * per_sample_weights.astype(weights.dtype)
     if pooling is PoolingMode.NONE:
+        rows = lookup_rows(weights, global_ids.reshape(-1)).reshape(
+            F, B, L, -1
+        )
         return rows * mask[:, :, :, None]
-    pooled = jnp.einsum("fbld,fbl->fbd", rows, mask)
     if pooling is PoolingMode.MEAN:
         denom = jnp.maximum(lengths.astype(weights.dtype), 1.0)
-        pooled = pooled / denom[:, :, None]
-    return pooled
+        mask = mask / denom[:, :, None]
+    return pooled_lookup(weights, global_ids, mask)
 
 
 def sequence_embedding_lookup(

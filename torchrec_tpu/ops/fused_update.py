@@ -166,6 +166,16 @@ def apply_fused_update(
     """
     R = weights.shape[0]
     uids, g = dedup_row_grads(flat_ids, row_grads, valid, R)
+
+    from torchrec_tpu.ops.embedding import _use_pallas
+
+    if _use_pallas(weights.dtype, weights.shape[1], 1) and optim_supports_pallas(
+        opt_state.optim
+    ):
+        return _apply_fused_update_pallas(
+            weights, opt_state, uids, g, learning_rate,
+            eps=eps, weight_decay=weight_decay, beta1=beta1, beta2=beta2,
+        )
     if weight_decay:
         g = g + weight_decay * weights.at[uids].get(
             mode="fill", fill_value=0.0, indices_are_sorted=True,
@@ -245,5 +255,66 @@ def apply_fused_update(
             upd, mode="drop", indices_are_sorted=True, unique_indices=True
         )
         return new_w, opt_state.replace(momentum1=new_m1, momentum2=new_m2, step=step)
+
+    raise ValueError(f"unsupported fused optimizer: {optim}")
+
+
+def optim_supports_pallas(optim: EmbOptimType) -> bool:
+    return optim in (
+        EmbOptimType.SGD,
+        EmbOptimType.EXACT_SGD,
+        EmbOptimType.ROWWISE_ADAGRAD,
+        EmbOptimType.ADAGRAD,
+        EmbOptimType.ADAM,
+    )
+
+
+def _apply_fused_update_pallas(
+    weights: Array,
+    opt_state: FusedOptimizerState,
+    uids: Array,
+    g: Array,
+    learning_rate,
+    eps: float,
+    weight_decay: float,
+    beta1: float,
+    beta2: float,
+) -> Tuple[Array, FusedOptimizerState]:
+    """Route the deduped row update to the in-place Pallas RMW kernels."""
+    from torchrec_tpu.ops import pallas_embedding as pe
+
+    lr = jnp.asarray(learning_rate, dtype=weights.dtype)
+    optim = opt_state.optim
+    step = opt_state.step + 1
+
+    if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
+        new_w = pe.fused_update_sgd(
+            weights, uids, g, lr, weight_decay=weight_decay
+        )
+        return new_w, opt_state.replace(step=step)
+
+    if optim is EmbOptimType.ROWWISE_ADAGRAD:
+        new_w, new_m = pe.fused_update_rowwise_adagrad(
+            weights, opt_state.momentum1, uids, g, lr,
+            eps=eps, weight_decay=weight_decay,
+        )
+        return new_w, opt_state.replace(momentum1=new_m, step=step)
+
+    if optim is EmbOptimType.ADAGRAD:
+        new_w, new_m = pe.fused_update_adagrad(
+            weights, opt_state.momentum1, uids, g, lr,
+            eps=eps, weight_decay=weight_decay,
+        )
+        return new_w, opt_state.replace(momentum1=new_m, step=step)
+
+    if optim is EmbOptimType.ADAM:
+        new_w, new_m1, new_m2 = pe.fused_update_adam(
+            weights, opt_state.momentum1, opt_state.momentum2, uids, g,
+            lr, step, eps=eps, weight_decay=weight_decay,
+            beta1=beta1, beta2=beta2,
+        )
+        return new_w, opt_state.replace(
+            momentum1=new_m1, momentum2=new_m2, step=step
+        )
 
     raise ValueError(f"unsupported fused optimizer: {optim}")

@@ -1,0 +1,677 @@
+"""Pallas TPU kernels for the table-batched embedding hot path — the
+hand-tuned equivalents of FBGEMM's `SplitTableBatchedEmbeddingBagsCodegen`
+forward and optimizer-in-backward (ref: third_party/fbgemm, consumed at
+torchrec/distributed/batched_embedding_kernel.py:410-421,604-647).
+
+Three kernels, all built on per-row async DMAs (the only way to move
+randomly-addressed 512B embedding rows on TPU — XLA's gather/scatter
+lowering serializes these):
+
+* `gather_rows`      — [N] row ids -> [N, D] rows. A grid step issues a
+                       wave of T row DMAs HBM->VMEM and ships the tile out
+                       through the normal Pallas output pipeline.
+* `tbe_lookup`       — fused gather + masked/weighted pooling: each grid
+                       step fetches TB bags x L rows and reduces them to
+                       [TB, D] in VMEM, so per-token rows never round-trip
+                       through HBM.
+* `fused_update_*`   — in-place (input_output_aliased) read-modify-write
+                       of touched rows only: w[id] and optimizer state
+                       stream HBM->VMEM, the SGD/(rowwise-)Adagrad/Adam
+                       step runs on the VPU, rows stream back. Nothing
+                       [R, D]-shaped is ever materialized. Ids must be
+                       UNIQUE (pre-deduped, see ops.fused_update
+                       .dedup_row_grads); slack slots carry id >= R and
+                       their writeback is predicated off.
+
+CPU fallback/testing: every entry point takes `interpret=None` which
+auto-enables the Pallas interpreter off-TPU, so the same code paths are
+unit-testable on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Max in-flight row DMAs per grid step. 512 semaphores exceeded a Mosaic
+# limit on v5e; 256 compiles and keeps the DMA queues saturated.
+_MAX_WAVE = 256
+
+
+def _auto_interpret(interpret: Optional[bool]) -> bool:
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu",)
+
+
+# ---------------------------------------------------------------------------
+# gather_rows
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(ids_ref, w_hbm, out_ref, scratch, sems, *, T):
+    base = pl.program_id(0) * T
+
+    def start(t, _):
+        pltpu.make_async_copy(
+            w_hbm.at[ids_ref[base + t]], scratch.at[t], sems.at[t]
+        ).start()
+        return _
+
+    jax.lax.fori_loop(0, T, start, None, unroll=8)
+
+    def wait(t, _):
+        pltpu.make_async_copy(
+            w_hbm.at[ids_ref[base + t]], scratch.at[t], sems.at[t]
+        ).wait()
+        return _
+
+    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+    out_ref[:] = scratch[:]
+
+
+def _gather_rows_impl(
+    weights: Array, flat_ids: Array, T: int, interpret: bool
+) -> Array:
+    N = flat_ids.shape[0]
+    D = weights.shape[1]
+    Np = -(-N // T) * T
+    ids = jnp.clip(flat_ids, 0, weights.shape[0] - 1)
+    if Np != N:
+        ids = jnp.pad(ids, (0, Np - N))
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, T=T),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // T,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (T, D), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Np, D), weights.dtype),
+        interpret=interpret,
+    )(ids, weights)
+    return out[:N] if Np != N else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows(
+    weights: Array,
+    flat_ids: Array,
+    T: int = _MAX_WAVE,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """weights [R, D], flat_ids [N] -> rows [N, D] (ids clipped to range)."""
+    return _gather_rows_impl(weights, flat_ids, T, _auto_interpret(interpret))
+
+
+def _gather_rows_fwd(weights, flat_ids, T, interpret):
+    return gather_rows(weights, flat_ids, T, interpret), (
+        weights.shape,
+        weights.dtype,
+        flat_ids,
+    )
+
+
+def _gather_rows_bwd(T, interpret, res, d_rows):
+    (R, D), dtype, flat_ids = res
+    # Cold path (autodiff through a non-fused table): dense scatter-add.
+    d_w = jnp.zeros((R, D), dtype).at[flat_ids].add(d_rows, mode="drop")
+    return d_w, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# tbe_lookup: fused gather + pool
+# ---------------------------------------------------------------------------
+
+
+def _lookup_kernel(
+    ids_ref, w_hbm, coeff_ref, out_ref, scratch, sems, *, TB, L, D
+):
+    T = TB * L
+    base = pl.program_id(0) * T
+
+    def start(t, _):
+        tb = t // L
+        l = t % L
+        pltpu.make_async_copy(
+            w_hbm.at[ids_ref[base + t]],
+            scratch.at[tb, pl.ds(l * D, D)],
+            sems.at[t],
+        ).start()
+        return _
+
+    jax.lax.fori_loop(0, T, start, None, unroll=8)
+
+    def wait(t, _):
+        tb = t // L
+        l = t % L
+        pltpu.make_async_copy(
+            w_hbm.at[ids_ref[base + t]],
+            scratch.at[tb, pl.ds(l * D, D)],
+            sems.at[t],
+        ).wait()
+        return _
+
+    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+
+    acc = scratch[:, 0:D] * coeff_ref[:, 0:1]
+    for l in range(1, L):
+        acc = acc + scratch[:, l * D : (l + 1) * D] * coeff_ref[:, l : l + 1]
+    out_ref[:] = acc
+
+
+def _tbe_lookup_impl(
+    weights: Array,
+    flat_ids: Array,  # [NB, L] pre-offset global rows
+    coeff: Array,  # [NB, L] pooling coefficient (0 for invalid)
+    interpret: bool,
+) -> Array:
+    NB, L = flat_ids.shape
+    D = weights.shape[1]
+    TB = max(8, _MAX_WAVE // L)
+    NBp = -(-NB // TB) * TB
+    ids = jnp.clip(flat_ids, 0, weights.shape[0] - 1)
+    if NBp != NB:
+        ids = jnp.pad(ids, ((0, NBp - NB), (0, 0)))
+        coeff = jnp.pad(coeff, ((0, NBp - NB), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, TB=TB, L=L, D=D),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NBp // TB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (TB, L), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (TB, D), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((TB, L * D), weights.dtype),
+                pltpu.SemaphoreType.DMA((TB * L,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NBp, D), weights.dtype),
+        interpret=interpret,
+    )(ids.reshape(-1), weights, coeff.astype(weights.dtype))
+    return out[:NB] if NBp != NB else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tbe_lookup_pooled(
+    weights: Array,
+    flat_ids: Array,
+    coeff: Array,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Fused gather+pool: out[b] = sum_l coeff[b, l] * weights[ids[b, l]].
+
+    weights [R, D]; flat_ids [NB, L] global row ids; coeff [NB, L]
+    (carries the validity mask, per-sample weights and 1/len for MEAN).
+    Returns [NB, D].
+    """
+    return _tbe_lookup_impl(
+        weights, flat_ids, coeff, _auto_interpret(interpret)
+    )
+
+
+def _tbe_lookup_fwd(weights, flat_ids, coeff, interpret):
+    out = tbe_lookup_pooled(weights, flat_ids, coeff, interpret)
+    return out, (weights, flat_ids, coeff)
+
+
+def _tbe_lookup_bwd(interpret, res, d_out):
+    weights, flat_ids, coeff = res
+    NB, L = flat_ids.shape
+    # row_grads[b, l] = coeff[b, l] * d_out[b]
+    row_grads = d_out[:, None, :] * coeff[:, :, None].astype(d_out.dtype)
+    d_w = (
+        jnp.zeros(weights.shape, weights.dtype)
+        .at[flat_ids.reshape(-1)]
+        .add(row_grads.reshape(NB * L, -1), mode="drop")
+    )
+    rows = gather_rows(weights, flat_ids.reshape(-1), interpret=interpret)
+    d_coeff = jnp.einsum(
+        "nd,nd->n", rows, jnp.repeat(d_out, L, axis=0)
+    ).reshape(NB, L)
+    return d_w, None, d_coeff.astype(coeff.dtype)
+
+
+tbe_lookup_pooled.defvjp(_tbe_lookup_fwd, _tbe_lookup_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused in-place sparse optimizer updates
+# ---------------------------------------------------------------------------
+#
+# Grid steps process waves of T unique rows. Scratches hold the row data;
+# the optimizer math is plain VPU code; writebacks are predicated on
+# id < R. `input_output_aliases` makes the updates truly in place: the
+# "outputs" are the same HBM buffers the inputs live in.
+
+
+def _start_reads(ids_ref, valid_ref, base, T, srcs_dsts_sems):
+    def start(t, _):
+        for src, dst, sem in srcs_dsts_sems:
+            pltpu.make_async_copy(
+                src(ids_ref[base + t]), dst(t), sem.at[t]
+            ).start()
+        return _
+
+    jax.lax.fori_loop(0, T, start, None, unroll=8)
+
+    def wait(t, _):
+        for src, dst, sem in srcs_dsts_sems:
+            pltpu.make_async_copy(
+                src(ids_ref[base + t]), dst(t), sem.at[t]
+            ).wait()
+        return _
+
+    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+
+
+def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
+    def start(t, _):
+        @pl.when(valid_ref[base + t] != 0)
+        def _w():
+            for src, dst, sem in srcs_dsts_sems:
+                pltpu.make_async_copy(
+                    src(t), dst(ids_ref[base + t]), sem.at[t]
+                ).start()
+
+        return _
+
+    jax.lax.fori_loop(0, T, start, None, unroll=8)
+
+    def wait(t, _):
+        @pl.when(valid_ref[base + t] != 0)
+        def _w():
+            for src, dst, sem in srcs_dsts_sems:
+                pltpu.make_async_copy(
+                    src(t), dst(ids_ref[base + t]), sem.at[t]
+                ).wait()
+
+        return _
+
+    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+
+
+def _sgd_kernel(
+    ids_ref, valid_ref, w_hbm, g_ref, lr_ref, out_w, w_s, rsem, wsem,
+    *, T, wd,
+):
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, valid_ref, base, T,
+        [(lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem)],
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    w_s[:] = w - lr_ref[0, 0] * g
+    _start_writes(
+        ids_ref, valid_ref, base, T,
+        [(lambda t: w_s.at[t], lambda i: out_w.at[i], wsem)],
+    )
+
+
+def _rowwise_adagrad_kernel(
+    ids_ref, valid_ref, w_hbm, m_hbm, g_ref, lr_ref, out_w, out_m,
+    w_s, m_s, rsem, rmsem, wsem, wmsem, *, T, eps, wd,
+):
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, valid_ref, base, T,
+        [
+            (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
+            (
+                lambda i: m_hbm.at[pl.ds(i, 1)],
+                lambda t: m_s.at[t, pl.ds(0, 1)],
+                rmsem,
+            ),
+        ],
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    m_new = m_s[:, 0:1] + jnp.mean(g * g, axis=1, keepdims=True)
+    w_s[:] = w - lr_ref[0, 0] * g / (jnp.sqrt(m_new) + eps)
+    m_s[:, 0:1] = m_new
+    _start_writes(
+        ids_ref, valid_ref, base, T,
+        [
+            (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
+            (
+                lambda t: m_s.at[t, pl.ds(0, 1)],
+                lambda i: out_m.at[pl.ds(i, 1)],
+                wmsem,
+            ),
+        ],
+    )
+
+
+def _adagrad_kernel(
+    ids_ref, valid_ref, w_hbm, m_hbm, g_ref, lr_ref, out_w, out_m,
+    w_s, m_s, rsem, rmsem, wsem, wmsem, *, T, eps, wd,
+):
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, valid_ref, base, T,
+        [
+            (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
+            (lambda i: m_hbm.at[i], lambda t: m_s.at[t], rmsem),
+        ],
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    m_new = m_s[:] + g * g
+    w_s[:] = w - lr_ref[0, 0] * g / (jnp.sqrt(m_new) + eps)
+    m_s[:] = m_new
+    _start_writes(
+        ids_ref, valid_ref, base, T,
+        [
+            (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
+            (lambda t: m_s.at[t], lambda i: out_m.at[i], wmsem),
+        ],
+    )
+
+
+def _adam_kernel(
+    ids_ref, valid_ref, w_hbm, m1_hbm, m2_hbm, g_ref, lr_ref, bc_ref,
+    out_w, out_m1, out_m2, w_s, m1_s, m2_s,
+    rsem, r1sem, r2sem, wsem, w1sem, w2sem,
+    *, T, eps, wd, beta1, beta2,
+):
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, valid_ref, base, T,
+        [
+            (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
+            (lambda i: m1_hbm.at[i], lambda t: m1_s.at[t], r1sem),
+            (lambda i: m2_hbm.at[i], lambda t: m2_s.at[t], r2sem),
+        ],
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    m1 = beta1 * m1_s[:] + (1.0 - beta1) * g
+    m2 = beta2 * m2_s[:] + (1.0 - beta2) * g * g
+    # bc_ref holds [1/(1-b1^t), 1/(1-b2^t)] precomputed on the host side
+    m1_hat = m1 * bc_ref[0, 0]
+    m2_hat = m2 * bc_ref[0, 1]
+    w_s[:] = w - lr_ref[0, 0] * m1_hat / (jnp.sqrt(m2_hat) + eps)
+    m1_s[:] = m1
+    m2_s[:] = m2
+    _start_writes(
+        ids_ref, valid_ref, base, T,
+        [
+            (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
+            (lambda t: m1_s.at[t], lambda i: out_m1.at[i], w1sem),
+            (lambda t: m2_s.at[t], lambda i: out_m2.at[i], w2sem),
+        ],
+    )
+
+
+def _pad_wave(uids, g, T):
+    N = uids.shape[0]
+    Np = -(-N // T) * T
+    if Np != N:
+        uids = jnp.pad(uids, (0, Np - N), constant_values=2**31 - 1)
+        g = jnp.pad(g, ((0, Np - N), (0, 0)))
+    return uids, g, Np
+
+
+def fused_update_sgd(
+    weights: Array,
+    uids: Array,
+    g: Array,
+    lr: Array,
+    weight_decay: float = 0.0,
+    T: int = 128,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """In-place SGD on unique touched rows. uids >= R are skipped."""
+    interpret = _auto_interpret(interpret)
+    R, D = weights.shape
+    uids, g, Np = _pad_wave(uids, g, T)
+    valid = (uids < R).astype(jnp.int32)
+    ids = jnp.minimum(uids, R - 1)
+    lr2 = jnp.full((1, 1), lr, weights.dtype)
+    return pl.pallas_call(
+        functools.partial(_sgd_kernel, T=T, wd=float(weight_decay)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Np // T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                pl.BlockSpec(
+                    (T, D), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
+                ),  # g
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # lr
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, valid, weights, g, lr2)
+
+
+def fused_update_rowwise_adagrad(
+    weights: Array,
+    momentum: Array,
+    uids: Array,
+    g: Array,
+    lr: Array,
+    eps: float = 1.0e-8,
+    weight_decay: float = 0.0,
+    T: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """In-place rowwise-Adagrad: momentum [R] holds mean(g^2) per row."""
+    interpret = _auto_interpret(interpret)
+    R, D = weights.shape
+    uids, g, Np = _pad_wave(uids, g, T)
+    valid = (uids < R).astype(jnp.int32)
+    ids = jnp.minimum(uids, R - 1)
+    lr2 = jnp.full((1, 1), lr, weights.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _rowwise_adagrad_kernel,
+            T=T,
+            eps=float(eps),
+            wd=float(weight_decay),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Np // T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                pl.BlockSpec(memory_space=pl.ANY),  # momentum [R]
+                pl.BlockSpec(
+                    (T, D), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
+                ),  # g
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # lr
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, 128), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, D), weights.dtype),
+            jax.ShapeDtypeStruct((R,), momentum.dtype),
+        ),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, valid, weights, momentum, g, lr2)
+
+
+def fused_update_adagrad(
+    weights: Array,
+    momentum: Array,
+    uids: Array,
+    g: Array,
+    lr: Array,
+    eps: float = 1.0e-8,
+    weight_decay: float = 0.0,
+    T: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """In-place (elementwise) Adagrad: momentum [R, D]."""
+    interpret = _auto_interpret(interpret)
+    R, D = weights.shape
+    uids, g, Np = _pad_wave(uids, g, T)
+    valid = (uids < R).astype(jnp.int32)
+    ids = jnp.minimum(uids, R - 1)
+    lr2 = jnp.full((1, 1), lr, weights.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _adagrad_kernel, T=T, eps=float(eps), wd=float(weight_decay)
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Np // T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (T, D), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, D), weights.dtype),
+            jax.ShapeDtypeStruct((R, D), momentum.dtype),
+        ),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, valid, weights, momentum, g, lr2)
+
+
+def fused_update_adam(
+    weights: Array,
+    momentum1: Array,
+    momentum2: Array,
+    uids: Array,
+    g: Array,
+    lr: Array,
+    step: Array,
+    eps: float = 1.0e-8,
+    weight_decay: float = 0.0,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    T: int = 128,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array, Array]:
+    """In-place Adam; `step` is the (already incremented) step count."""
+    interpret = _auto_interpret(interpret)
+    R, D = weights.shape
+    uids, g, Np = _pad_wave(uids, g, T)
+    valid = (uids < R).astype(jnp.int32)
+    ids = jnp.minimum(uids, R - 1)
+    lr2 = jnp.full((1, 1), lr, weights.dtype)
+    t = step.astype(weights.dtype)
+    bc = jnp.stack(
+        [1.0 / (1.0 - beta1**t), 1.0 / (1.0 - beta2**t)]
+    ).reshape(1, 2).astype(weights.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _adam_kernel,
+            T=T,
+            eps=float(eps),
+            wd=float(weight_decay),
+            beta1=float(beta1),
+            beta2=float(beta2),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Np // T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (T, D), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, D), weights.dtype),
+            jax.ShapeDtypeStruct((R, D), momentum1.dtype),
+            jax.ShapeDtypeStruct((R, D), momentum2.dtype),
+        ),
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, valid, weights, momentum1, momentum2, g, lr2, bc)

@@ -34,6 +34,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from torchrec_tpu.ops.embedding import pooled_lookup
 from torchrec_tpu.ops.fused_update import apply_fused_update
 from torchrec_tpu.parallel.strategies import (
     AXIS,
@@ -214,8 +215,7 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             owned = (owner_l == l) & _token_mask(len_m, L)
             coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
             coeff = coeff * owned.astype(w.dtype)
-            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
-            partial = jnp.einsum("fbld,fbl->fbd", rows, coeff)
+            partial = pooled_lookup(w[0], local, coeff)
             # intra-host reduce-scatter (ICI), ref twrw_sharding.py:441-484
             intra = lax.psum_scatter(
                 partial, AXIS, scatter_dimension=1, tiled=True,
@@ -384,8 +384,7 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             )
             coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
             local = ids_m + off
-            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
-            pooled = jnp.einsum("fbld,fbl->fbd", rows, coeff)  # [f,B,D/Lc]
+            pooled = pooled_lookup(w[0], local, coeff)  # [f,B,D/Lc]
             # intra-host: swap batch-sharding for column-concat (ICI)
             intra = lax.all_to_all(
                 pooled, AXIS, split_axis=1, concat_axis=2, tiled=True,

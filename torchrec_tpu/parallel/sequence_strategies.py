@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from torchrec_tpu.ops.embedding import lookup_rows
 from torchrec_tpu.ops.fused_update import apply_fused_update
 from torchrec_tpu.parallel.strategies import (
     AXIS,
@@ -102,7 +103,9 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             local, owned = self._route(ids_g, len_g, my, L)
-            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
+            rows = lookup_rows(w[0], local.reshape(-1)).reshape(
+                *local.shape, w.shape[-1]
+            )
             rows = rows * owned.astype(w.dtype)[..., None]
             return lax.psum_scatter(
                 rows, AXIS, scatter_dimension=1, tiled=True
@@ -159,7 +162,9 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
-            rows = w[0][ids_m.reshape(-1)].reshape(*ids_m.shape, w.shape[-1])
+            rows = lookup_rows(w[0], ids_m.reshape(-1)).reshape(
+                *ids_m.shape, w.shape[-1]
+            )
             mask = _token_mask(len_m, L).astype(w.dtype)
             rows = rows * mask[..., None]  # [f_max, B, L, D]
             slots = lax.all_to_all(

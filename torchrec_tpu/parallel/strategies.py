@@ -45,7 +45,10 @@ from flax import struct
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from torchrec_tpu.ops.embedding import PoolingMode
+from torchrec_tpu.ops.embedding import (
+    PoolingMode,
+    pooled_lookup,
+)
 from torchrec_tpu.ops.fused_update import (
     EmbOptimType,
     FusedOptimizerState,
@@ -278,8 +281,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 lengths, L, self.meta.feature_pooling_mean,
                 psw if has_w else None, w.dtype,
             )
-            rows = w[gids.reshape(-1)].reshape(F, -1, L, w.shape[-1])
-            return jnp.einsum("fbld,fbl->fbd", rows, coeff)
+            return pooled_lookup(w, gids, coeff)
 
         return jax.shard_map(
             fwd,
@@ -412,8 +414,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             local, owned = self._route(ids_g, len_g, my, L)
             coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
             coeff = coeff * owned.astype(w.dtype)
-            rows = w[0][local.reshape(-1)].reshape(*local.shape, w.shape[-1])
-            partial = jnp.einsum("fbld,fbl->fbd", rows, coeff)
+            partial = pooled_lookup(w[0], local, coeff)
             return lax.psum_scatter(
                 partial, AXIS, scatter_dimension=1, tiled=True
             )
@@ -576,8 +577,7 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 coeff = coeff * psw_m.astype(w.dtype)
             denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
             coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
-            rows = w[0][ids_m.reshape(-1)].reshape(*ids_m.shape, w.shape[-1])
-            pooled = jnp.einsum("fbld,fbl->fbd", rows, coeff)  # [f_max, B, D]
+            pooled = pooled_lookup(w[0], ids_m, coeff)  # [f_max, B, D]
             slots = lax.all_to_all(
                 pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
             )  # [n*f_max, B_loc, D]
@@ -702,8 +702,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             )
             gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
             coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
-            rows = w[0][gids.reshape(-1)].reshape(*gids.shape, w.shape[-1])
-            pooled = jnp.einsum("fbld,fbl->fbd", rows, coeff)  # [F,B,D/n]
+            pooled = pooled_lookup(w[0], gids, coeff)  # [F,B,D/n]
             return lax.all_to_all(
                 pooled, AXIS, split_axis=1, concat_axis=2, tiled=True
             )  # [F, B_loc, D]
