@@ -9,3 +9,12 @@ from torchrec_tpu.parallel.sharded_ebc import (  # noqa: F401
     ShardedEmbeddingBagCollection,
 )
 from torchrec_tpu.parallel.dmp import DistributedModelParallel  # noqa: F401
+from torchrec_tpu.parallel.tower_sharding import (  # noqa: F401
+    ShardedEmbeddingTowerCollection,
+    TowerSpec,
+)
+from torchrec_tpu.parallel.variable_batch import (  # noqa: F401
+    VariableBatch,
+    masked_bce_with_logits,
+    masked_mean,
+)
