@@ -38,6 +38,8 @@ class TransformerBlock(nn.Module):
     def __call__(
         self, x: Array, mask: Array, deterministic: bool = True
     ) -> Array:
+        """Call Args: x [B, L, D]; mask [B, 1, L, L] additive attention
+        mask; deterministic disables dropout. Returns [B, L, D]."""
         h = nn.LayerNorm()(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
@@ -97,6 +99,9 @@ class HistoryArch(nn.Module):
     def __call__(
         self, id_list_features: PaddedSparseBatch, deterministic: bool = True
     ) -> Array:
+        """Call Args: id_list_features padded item-history batch;
+        deterministic disables dropout. Returns token embeddings
+        [B, L, D]."""
         tokens = self.ec(id_list_features)  # {"item": [B, L, D]}
         item_output = tokens["item"]
         x = item_output + self.positional[None, :, :]
@@ -139,6 +144,8 @@ class BERT4Rec(nn.Module):
     def __call__(
         self, input: PaddedSparseBatch, deterministic: bool = True
     ) -> Array:
+        """Call Args: input padded item-history batch; deterministic
+        disables dropout. Returns per-position logits [B, L, vocab]."""
         # attention mask: attend only to non-pad positions (id > 0)
         ids = input.select_features([input.keys.index("item")]).ids[0]  # [B,L]
         valid = ids > 0
@@ -161,9 +168,12 @@ class BERT4RecTrain(nn.Module):
     def __call__(
         self,
         input: PaddedSparseBatch,
-        labels: Array,  # [B, L]; pad_id positions are ignored
+        labels: Array,
         deterministic: bool = True,
     ) -> Tuple[Array, Tuple[Array, Array]]:
+        """Call Args: input padded masked item histories; labels [B, L]
+        (pad_id positions ignored); deterministic disables dropout.
+        Returns (loss, (loss, logits))."""
         logits = self.model(input, deterministic=deterministic)
         logp = jax.nn.log_softmax(logits, axis=-1)
         picked = jnp.take_along_axis(

@@ -35,6 +35,8 @@ class FMInteractionArch(nn.Module):
 
     @nn.compact
     def __call__(self, dense_features: Array, sparse_features: KeyedTensor) -> Array:
+        """Call Args: dense_features [B, D]; sparse_features pooled
+        KeyedTensor. Returns [B, D + 1] (deep ⊕ FM)."""
         if len(self.sparse_feature_names) == 0:
             return dense_features
         tensors: List[Array] = [dense_features]
@@ -83,6 +85,8 @@ class SimpleDeepFMNN(nn.Module):
     def __call__(
         self, dense_features: Array, sparse_features: PaddedSparseBatch
     ) -> Array:
+        """Call Args: dense_features [B, d_in]; sparse_features padded
+        [F, B, L] batch. Returns logits [B, 1]."""
         embedded_dense = self.dense_arch(dense_features)
         embedded_sparse = self.sparse_arch(sparse_features)
         concatenated_dense = self.inter_arch(embedded_dense, embedded_sparse)

@@ -58,6 +58,8 @@ class InteractionArch(nn.Module):
     num_sparse_features: int
 
     def __call__(self, dense_features: Array, sparse_features: Array) -> Array:
+        """Call Args: dense_features [B, D]; sparse_features [B, F, D].
+        Returns [B, D + F*(F+1)/2]."""
         F = self.num_sparse_features
         if F <= 0:
             return dense_features
@@ -121,6 +123,8 @@ class DLRM(nn.Module):
     def __call__(
         self, dense_features: Array, sparse_features: PaddedSparseBatch
     ) -> Array:
+        """Call Args: dense_features [B, d_in]; sparse_features the padded
+        [F, B, L] batch. Returns logits [B, 1]."""
         embedded_dense = self.dense_arch(dense_features)
         embedded_sparse = self.sparse_arch(sparse_features)
         concatenated_dense = self.inter_arch(embedded_dense, embedded_sparse)
@@ -140,6 +144,8 @@ class DLRMTrain(nn.Module):
         sparse_features: PaddedSparseBatch,
         labels: Array,
     ) -> Tuple[Array, Tuple[Array, Array, Array]]:
+        """Call Args: dense_features [B, d_in]; sparse_features padded
+        batch; labels [B]. Returns (loss, (loss, logits, labels))."""
         logits = self.dlrm(dense_features, sparse_features).squeeze(-1)
         labels = labels.astype(logits.dtype)
         # BCE with logits, mean reduction

@@ -176,6 +176,9 @@ class EmbeddingCollection(nn.Module):
         features: Union[PaddedSparseBatch, KeyedJaggedTensor],
         as_jagged: bool = False,
     ) -> Dict[str, Union[Array, JaggedTensor]]:
+        """Call Args: features sparse batch; as_jagged selects JaggedTensor
+        outputs (the reference's Dict[str, JaggedTensor] contract) over
+        padded [B, L, D] arrays."""
         sb = _as_padded(features, self.max_feature_length)
         key_index = {k: i for i, k in enumerate(sb.keys)}
         out: Dict[str, Union[Array, JaggedTensor]] = {}

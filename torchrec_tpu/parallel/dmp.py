@@ -91,6 +91,8 @@ class InjectedEmbeddingCollection(nn.Module):
 
     @nn.compact
     def __call__(self, features: PaddedSparseBatch, as_jagged: bool = False):
+        """Call Args: features padded sparse batch (shape source only);
+        as_jagged accepted for EmbeddingCollection API compatibility."""
         del as_jagged
         F = len(self.keys)
         B, L = features.ids.shape[1], features.ids.shape[2]
