@@ -184,3 +184,48 @@ def test_train_pipeline_runs():
             break
     assert n == 6
     assert int(pipe.state) == 6
+
+
+def test_preproc_scripts_cli(tmp_path):
+    """End-to-end CLI: tsv -> npy -> contiguous (ref:
+    datasets/scripts/{npy,contiguous}_preproc_criteo.py)."""
+    from torchrec_tpu.datasets.scripts import (
+        contiguous_preproc_criteo,
+        npy_preproc_criteo,
+    )
+    from torchrec_tpu.datasets.criteo import (
+        CAT_FEATURE_COUNT,
+        INT_FEATURE_COUNT,
+    )
+
+    raw = tmp_path / "raw"
+    npy = tmp_path / "npy"
+    contig = tmp_path / "contig"
+    raw.mkdir(), npy.mkdir(), contig.mkdir()
+    rng = np.random.RandomState(0)
+    rows = 12
+    lines = []
+    for _ in range(rows):
+        label = str(rng.randint(0, 2))
+        dense = [str(rng.randint(0, 9)) for _ in range(INT_FEATURE_COUNT)]
+        sparse = [
+            format(rng.randint(0, 4), "x") for _ in range(CAT_FEATURE_COUNT)
+        ]
+        lines.append("\t".join([label] + dense + sparse))
+    (raw / "day_0").write_text("\n".join(lines) + "\n")
+
+    npy_preproc_criteo.main(
+        ["--input_dir", str(raw), "--output_dir", str(npy)]
+    )
+    assert sorted(p.name for p in npy.iterdir()) == [
+        "day_0_dense.npy", "day_0_labels.npy", "day_0_sparse.npy",
+    ]
+    assert np.load(npy / "day_0_sparse.npy").shape == (rows, CAT_FEATURE_COUNT)
+
+    contiguous_preproc_criteo.main(
+        ["--input_dir", str(npy), "--output_dir", str(contig),
+         "--frequency_threshold", "0"]
+    )
+    out = np.load(contig / "day_0_sparse_contig_freq.npy")
+    assert out.shape == (rows, CAT_FEATURE_COUNT)
+    assert out.min() >= 2  # contiguous ids start at 2

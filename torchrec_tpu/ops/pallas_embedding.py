@@ -65,7 +65,7 @@ def _gather_kernel(ids_ref, w_hbm, out_ref, scratch, sems, *, T):
         ).start()
         return _
 
-    jax.lax.fori_loop(0, T, start, None, unroll=8)
+    jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
         pltpu.make_async_copy(
@@ -73,7 +73,7 @@ def _gather_kernel(ids_ref, w_hbm, out_ref, scratch, sems, *, T):
         ).wait()
         return _
 
-    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+    jax.lax.fori_loop(0, T, wait, None)
     out_ref[:] = scratch[:]
 
 
@@ -156,7 +156,7 @@ def _lookup_kernel(
         ).start()
         return _
 
-    jax.lax.fori_loop(0, T, start, None, unroll=8)
+    jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
         tb = t // L
@@ -168,7 +168,7 @@ def _lookup_kernel(
         ).wait()
         return _
 
-    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+    jax.lax.fori_loop(0, T, wait, None)
 
     acc = scratch[:, 0:D] * coeff_ref[:, 0:1]
     for l in range(1, L):
@@ -276,7 +276,7 @@ def _start_reads(ids_ref, valid_ref, base, T, srcs_dsts_sems):
             ).start()
         return _
 
-    jax.lax.fori_loop(0, T, start, None, unroll=8)
+    jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
         for src, dst, sem in srcs_dsts_sems:
@@ -285,7 +285,7 @@ def _start_reads(ids_ref, valid_ref, base, T, srcs_dsts_sems):
             ).wait()
         return _
 
-    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+    jax.lax.fori_loop(0, T, wait, None)
 
 
 def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
@@ -299,7 +299,7 @@ def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
 
         return _
 
-    jax.lax.fori_loop(0, T, start, None, unroll=8)
+    jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
         @pl.when(valid_ref[base + t] != 0)
@@ -311,7 +311,7 @@ def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
 
         return _
 
-    jax.lax.fori_loop(0, T, wait, None, unroll=8)
+    jax.lax.fori_loop(0, T, wait, None)
 
 
 def _sgd_kernel(
@@ -343,8 +343,10 @@ def _rowwise_adagrad_kernel(
         ids_ref, valid_ref, base, T,
         [
             (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
+            # momentum is viewed as [R, 1]: leading-dim slices of 2-D HBM
+            # memrefs are DMA-able, 1-D ones are not (tiling constraint)
             (
-                lambda i: m_hbm.at[pl.ds(i, 1)],
+                lambda i: m_hbm.at[i],
                 lambda t: m_s.at[t, pl.ds(0, 1)],
                 rmsem,
             ),
@@ -363,7 +365,7 @@ def _rowwise_adagrad_kernel(
             (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
             (
                 lambda t: m_s.at[t, pl.ds(0, 1)],
-                lambda i: out_m.at[pl.ds(i, 1)],
+                lambda i: out_m.at[i],
                 wmsem,
             ),
         ],
@@ -504,7 +506,8 @@ def fused_update_rowwise_adagrad(
     valid = (uids < R).astype(jnp.int32)
     ids = jnp.minimum(uids, R - 1)
     lr2 = jnp.full((1, 1), lr, weights.dtype)
-    return pl.pallas_call(
+    m2d = momentum.reshape(R, 1)  # free bitcast; see kernel comment
+    new_w, new_m = pl.pallas_call(
         functools.partial(
             _rowwise_adagrad_kernel,
             T=T,
@@ -528,7 +531,7 @@ def fused_update_rowwise_adagrad(
             ),
             scratch_shapes=[
                 pltpu.VMEM((T, D), weights.dtype),
-                pltpu.VMEM((T, 128), weights.dtype),
+                pltpu.VMEM((T, 1), weights.dtype),
                 pltpu.SemaphoreType.DMA((T,)),
                 pltpu.SemaphoreType.DMA((T,)),
                 pltpu.SemaphoreType.DMA((T,)),
@@ -537,12 +540,13 @@ def fused_update_rowwise_adagrad(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((R, D), weights.dtype),
-            jax.ShapeDtypeStruct((R,), momentum.dtype),
+            jax.ShapeDtypeStruct((R, 1), momentum.dtype),
         ),
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, valid, weights, momentum, g, lr2)
+    )(ids, valid, weights, m2d, g, lr2)
+    return new_w, new_m.reshape(R)
 
 
 def fused_update_adagrad(
