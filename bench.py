@@ -94,12 +94,13 @@ def main():
     # warmup / compile (3 steps: cover any residual signature changes)
     for _ in range(3):
         state, loss, _ = train_step(state, dense, sb, labels)
-    loss.block_until_ready()
+    float(loss)  # hard host sync (block_until_ready is unreliable on the
+    # tunneled axon platform; a host fetch is a real barrier)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, loss, _ = train_step(state, dense, sb, labels)
-    loss.block_until_ready()
+    float(loss)
     dt = time.perf_counter() - t0
 
     examples_per_sec = STEPS * B / dt

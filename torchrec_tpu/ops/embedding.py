@@ -50,17 +50,25 @@ class PoolingMode(enum.Enum):
 
 
 def _use_pallas(dtype, D: int, L: int, impl: str = "auto") -> bool:
+    """Measured on v5e (tools/bench_kernels.py, 213k rows of D=128 f32):
+    XLA's native gather runs at ~8.6 ns/row and scatter at ~26 ns/row —
+    both dispatch-bound, not bandwidth-bound. The Pallas DMA-wave kernels
+    cost ~15 ns/row per DMA descriptor on the scalar core (~30 ns/row for
+    start+wait), so they LOSE to XLA on this chip generation; they exist
+    for chips where descriptor issue is cheaper and as the base for a
+    future SparseCore path. Hence: default to XLA, opt in to Pallas via
+    TORCHREC_TPU_EMB_IMPL=pallas."""
     impl = os.environ.get("TORCHREC_TPU_EMB_IMPL", impl)
     if impl == "xla":
         return False
     if impl == "pallas":
-        return True
-    return (
-        jax.default_backend() == "tpu"
-        and dtype == jnp.float32
-        # lane slices into the row scratch must stay 128-aligned
-        and (L == 1 or D % 128 == 0)
-    )
+        return (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            # lane slices into the row scratch must stay 128-aligned
+            and (L == 1 or D % 128 == 0)
+        )
+    return False
 
 
 def pooled_lookup(
