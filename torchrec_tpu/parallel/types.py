@@ -44,12 +44,14 @@ class ShardingType(enum.Enum):
 class ComputeKernel(enum.Enum):
     """ref: distributed/embedding_types.py:44-54. On TPU there is one fused
     lookup path; DENSE keeps plain-autodiff tables (optimizer outside),
-    QUANT is the int8/int4 inference path. UVM variants map to host-offload
-    (documented gap in round 1)."""
+    QUANT is the int8/int4 inference path, and FUSED_UVM_CACHING maps the
+    reference's UVM kernels to a host-resident table with a software-
+    managed HBM row cache (ops/uvm_cache.py)."""
 
     DENSE = "dense"
     FUSED = "fused"
     QUANT = "quant"
+    FUSED_UVM_CACHING = "fused_uvm_caching"
 
 
 @dataclasses.dataclass
