@@ -1,43 +1,39 @@
 """Microbenchmark: embedding lookup fwd + fused update vs HBM roofline.
 
-Measures the two hot ops in isolation (the equivalents of FBGEMM's TBE
-forward and optimizer-in-backward) and reports achieved GB/s against the
-chip's HBM speed-of-light, so kernel work can be judged directly.
+Times the two hot ops (the TBE forward and optimizer-in-backward
+equivalents) with the chained-dispatch harness from tools/tpu_timing.py
+(single-dispatch timing is meaningless through the axon relay).
 
-Usage: python tools/bench_kernels.py [--impl xla|pallas] [--dim 128] ...
+Usage: PYTHONPATH=.:~/.axon_site python tools/bench_kernels.py
+       [--impl xla|pallas] [--rows R] [--dim D] ...
 """
 
 from __future__ import annotations
 
 import argparse
-import time
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from tools.tpu_timing import bench_chain
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--rows", type=int, default=2_600_000)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--features", type=int, default=26)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--maxlen", type=int, default=1)
     ap.add_argument("--hbm-gbps", type=float, default=819.0, help="v5e peak")
     args = ap.parse_args()
+    os.environ["TORCHREC_TPU_EMB_IMPL"] = args.impl
 
     from torchrec_tpu.ops.embedding import (
         PoolingMode,
@@ -46,88 +42,60 @@ def main():
     from torchrec_tpu.ops.fused_update import (
         EmbOptimType,
         apply_fused_update,
-        dedup_row_grads,
         init_fused_optimizer_state,
     )
 
     F, B, L, D = args.features, args.batch, args.maxlen, args.dim
     R = args.rows
+    N = F * B * L
     rng = np.random.RandomState(0)
-    weights = jnp.asarray(rng.randn(R, D).astype(np.float32))
-    ids = jnp.asarray(rng.randint(0, R // F, size=(F, B, L)), jnp.int32)
+    w0 = jnp.asarray(rng.randn(R, D).astype(np.float32))
+    ids0 = jnp.asarray(rng.randint(0, R // F, size=(F, B, L)), jnp.int32)
     lengths = jnp.full((F, B), L, jnp.int32)
     row_offsets = jnp.arange(F, dtype=jnp.int32) * (R // F)
-    opt = init_fused_optimizer_state(R, D, EmbOptimType.ROWWISE_ADAGRAD)
+    opt0 = init_fused_optimizer_state(R, D, EmbOptimType.ROWWISE_ADAGRAD)
 
-    if args.impl == "pallas":
-        from torchrec_tpu.ops import pallas_embedding as pe
+    def perturb(ids, acc):
+        return ids + jnp.int32(acc * 1e-30)
 
-        fwd = jax.jit(
-            lambda w, i, l: pe.tbe_lookup(
-                w, i, l, row_offsets, pooling=PoolingMode.SUM
-            )
+    # --- forward ---
+    def fwd(c):
+        w, ids, acc = c
+        out = batched_embedding_lookup(
+            w, perturb(ids, acc), lengths, row_offsets, PoolingMode.SUM
         )
-    else:
-        fwd = jax.jit(
-            lambda w, i, l: batched_embedding_lookup(
-                w, i, l, row_offsets, pooling=PoolingMode.SUM
-            )
-        )
+        return (w, ids, acc + out[0, 0, 0])
 
-    t_fwd = timeit(fwd, weights, ids, lengths)
-    n_tok = F * B * L
-    fwd_bytes = n_tok * D * 4 + F * B * D * 4  # rows read + pooled write
+    t_fwd = bench_chain(fwd, (w0, ids0, jnp.float32(0)), donate=True)
+    fwd_bytes = N * D * 4 + F * B * D * 4
     gbs_fwd = fwd_bytes / t_fwd / 1e9
 
-    # --- fused update (rowwise adagrad) ---
-    flat_ids = (ids + row_offsets[:, None, None]).reshape(-1)
-    row_grads = jnp.asarray(rng.randn(n_tok, D).astype(np.float32)) * 1e-3
-    valid = jnp.ones((n_tok,), bool)
+    # --- fused update (rowwise adagrad, exact dedup) ---
+    flat_ids = (ids0 + row_offsets[:, None, None]).reshape(-1)
+    g0 = jnp.asarray(rng.randn(N, D).astype(np.float32)) * 1e-3
+    valid = jnp.ones((N,), bool)
 
-    if args.impl == "pallas":
-        from torchrec_tpu.ops import pallas_embedding as pe
+    def upd(c):
+        w, m, g = c
+        o2 = opt0.replace(momentum1=m)
+        nw, no = apply_fused_update(w, o2, flat_ids, g, valid, 0.01)
+        return (nw, no.momentum1, g)
 
-        def upd(w, o, fi, g, v):
-            return pe.tbe_fused_update(w, o, fi, g, v, 0.01)
-
-    else:
-
-        def upd(w, o, fi, g, v):
-            return apply_fused_update(w, o, fi, g, v, 0.01)
-
-    upd = jax.jit(upd, donate_argnums=(0, 1))
-
-    # donation means we must re-make inputs each iter; time with fresh copies
-    def run_upd():
-        w = jnp.array(weights, copy=True)
-        o = jax.tree.map(lambda x: jnp.array(x, copy=True) if x is not None else None, opt)
-        jax.block_until_ready((w, o))
-        t0 = time.perf_counter()
-        out = upd(w, o, flat_ids, row_grads, valid)
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
-
-    run_upd()  # compile
-    ts = sorted(run_upd() for _ in range(10))
-    t_upd = ts[len(ts) // 2]
-    # per touched row: read w + write w + read m + write m + grad read
-    upd_bytes = n_tok * (D * 4 * 2 + 8 + D * 4)
+    t_upd = bench_chain(
+        upd, (w0, opt0.momentum1, g0), donate=True
+    )
+    upd_bytes = N * (D * 4 * 3 + 8)
     gbs_upd = upd_bytes / t_upd / 1e9
-
-    # --- dedup alone ---
-    ddp = jax.jit(lambda fi, g, v: dedup_row_grads(fi, g, v, R))
-    t_ddp = timeit(ddp, flat_ids, row_grads, valid)
 
     print(f"impl={args.impl}  F={F} B={B} L={L} D={D} R={R}")
     print(
-        f"fwd lookup : {t_fwd*1e3:8.3f} ms  {gbs_fwd:7.1f} GB/s "
-        f"({100*gbs_fwd/args.hbm_gbps:5.1f}% of HBM peak)"
+        f"fwd lookup : {t_fwd*1e3:8.3f} ms  {t_fwd/N*1e9:6.2f} ns/row  "
+        f"{gbs_fwd:7.1f} GB/s ({100*gbs_fwd/args.hbm_gbps:5.1f}% of HBM peak)"
     )
     print(
-        f"fused upd  : {t_upd*1e3:8.3f} ms  {gbs_upd:7.1f} GB/s "
-        f"({100*gbs_upd/args.hbm_gbps:5.1f}% of HBM peak)"
+        f"fused upd  : {t_upd*1e3:8.3f} ms  {t_upd/N*1e9:6.2f} ns/row  "
+        f"{gbs_upd:7.1f} GB/s ({100*gbs_upd/args.hbm_gbps:5.1f}% of HBM peak)"
     )
-    print(f"  dedup    : {t_ddp*1e3:8.3f} ms (included in fused upd)")
 
 
 if __name__ == "__main__":

@@ -123,9 +123,17 @@ def dedup_row_grads(
     first = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]
     )
-    seg = jnp.cumsum(first) - 1  # [N] compact segment index
-    sums = jax.ops.segment_sum(g, seg, num_segments=N)
-    uids = jnp.full((N,), num_rows, dtype=sid.dtype).at[seg].set(sid)
+    seg = jnp.cumsum(first) - 1  # [N] compact segment index (nondecreasing)
+    # indices_are_sorted unlocks XLA's fast scatter path (sorted+dup scatter
+    # measured 3x faster than unsorted on v5e, tools/bench_kernels.py)
+    sums = jax.ops.segment_sum(
+        g, seg, num_segments=N, indices_are_sorted=True
+    )
+    uids = (
+        jnp.full((N,), num_rows, dtype=sid.dtype)
+        .at[seg]
+        .set(sid, indices_are_sorted=True)
+    )
     # Pad/sentinel slots get DISTINCT out-of-range ids (num_rows + position)
     # so `uids` is globally sorted AND unique — this unlocks XLA's fast
     # vectorized scatter path (indices_are_sorted + unique_indices gave a
