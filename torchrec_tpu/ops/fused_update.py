@@ -46,6 +46,10 @@ class EmbOptimType(enum.Enum):
     ADAGRAD = "adagrad"
     ROWWISE_ADAGRAD = "rowwise_adagrad"
     ADAM = "adam"
+    PARTIAL_ROWWISE_ADAM = "partial_rowwise_adam"
+    LAMB = "lamb"
+    PARTIAL_ROWWISE_LAMB = "partial_rowwise_lamb"
+    LARS_SGD = "lars_sgd"
 
 
 @struct.dataclass
@@ -74,9 +78,17 @@ def init_fused_optimizer_state(
         m1 = jnp.zeros((num_rows,), dtype=dtype)
     elif optim is EmbOptimType.ADAGRAD:
         m1 = jnp.zeros((num_rows, dim), dtype=dtype)
-    elif optim is EmbOptimType.ADAM:
+    elif optim in (EmbOptimType.ADAM, EmbOptimType.LAMB):
         m1 = jnp.zeros((num_rows, dim), dtype=dtype)
         m2 = jnp.zeros((num_rows, dim), dtype=dtype)
+    elif optim in (
+        EmbOptimType.PARTIAL_ROWWISE_ADAM,
+        EmbOptimType.PARTIAL_ROWWISE_LAMB,
+    ):
+        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
+        m2 = jnp.zeros((num_rows,), dtype=dtype)
+    elif optim is EmbOptimType.LARS_SGD:
+        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
     return FusedOptimizerState(
         momentum1=m1, momentum2=m2, step=jnp.zeros((), jnp.int32), optim=optim
     )
@@ -156,6 +168,8 @@ def apply_fused_update(
     weight_decay: float = 0.0,
     beta1: float = 0.9,
     beta2: float = 0.999,
+    eta: float = 0.001,
+    momentum: float = 0.9,
 ) -> Tuple[Array, FusedOptimizerState]:
     """Apply one fused sparse optimizer step to touched rows only.
 
@@ -170,7 +184,15 @@ def apply_fused_update(
       ROWWISE_ADAGRAD: m += mean(g²);  w -= lr * g / (sqrt(m) + eps)
       ADAM (exact):    m1 = b1 m1 + (1-b1) g; m2 = b2 m2 + (1-b2) g²
                        w -= lr * m1_hat / (sqrt(m2_hat) + eps)
-    where g is the TOTAL (dup-combined) row gradient.
+      PARTIAL_ROWWISE_ADAM: ADAM with rowwise m2 = b2 m2 + (1-b2) mean(g²)
+      LAMB:            Adam ratio rt (+ wd*w), per-row trust
+                       w -= lr * (||w|| / ||rt||) * rt
+      PARTIAL_ROWWISE_LAMB: LAMB with rowwise m2
+      LARS_SGD:        lr_adj = lr * eta * ||w|| / (||g|| + wd*||w||)
+                       m = momentum*m + lr_adj*(g + wd*w);  w -= m
+    where g is the TOTAL (dup-combined) row gradient and norms are
+    per-row L2 (ref: fbgemm optimizer kernels selected via
+    fused_params["optimizer"], batched_embedding_kernel.py:260-284).
     """
     R = weights.shape[0]
     uids, g = dedup_row_grads(flat_ids, row_grads, valid, R)
@@ -184,7 +206,14 @@ def apply_fused_update(
             weights, opt_state, uids, g, learning_rate,
             eps=eps, weight_decay=weight_decay, beta1=beta1, beta2=beta2,
         )
-    if weight_decay:
+    _L2_ON_GRAD = (
+        EmbOptimType.SGD,
+        EmbOptimType.EXACT_SGD,
+        EmbOptimType.ADAGRAD,
+        EmbOptimType.ROWWISE_ADAGRAD,
+        EmbOptimType.ADAM,
+    )
+    if weight_decay and opt_state.optim in _L2_ON_GRAD:
         g = g + weight_decay * weights.at[uids].get(
             mode="fill", fill_value=0.0, indices_are_sorted=True,
             unique_indices=True,
@@ -263,6 +292,105 @@ def apply_fused_update(
             upd, mode="drop", indices_are_sorted=True, unique_indices=True
         )
         return new_w, opt_state.replace(momentum1=new_m1, momentum2=new_m2, step=step)
+
+    hints = dict(indices_are_sorted=True, unique_indices=True)
+    w_rows = weights.at[uids].get(mode="fill", fill_value=0.0, **hints)
+
+    if optim in (EmbOptimType.PARTIAL_ROWWISE_ADAM,):
+        step = opt_state.step + 1
+        m1_rows = opt_state.momentum1.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
+        )
+        m2_rows = opt_state.momentum2.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
+        )
+        new_m1_rows = beta1 * m1_rows + (1.0 - beta1) * g
+        new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * jnp.mean(
+            g * g, axis=1
+        )
+        t = step.astype(weights.dtype)
+        m1_hat = new_m1_rows / (1.0 - beta1**t)
+        m2_hat = new_m2_rows / (1.0 - beta2**t)
+        upd = -lr * m1_hat / (jnp.sqrt(m2_hat)[:, None] + eps)
+        if weight_decay:
+            upd = upd - lr * weight_decay * w_rows
+        new_w = weights.at[uids].add(upd, mode="drop", **hints)
+        new_m1 = opt_state.momentum1.at[uids].set(
+            new_m1_rows, mode="drop", **hints
+        )
+        new_m2 = opt_state.momentum2.at[uids].set(
+            new_m2_rows, mode="drop", **hints
+        )
+        return new_w, opt_state.replace(
+            momentum1=new_m1, momentum2=new_m2, step=step
+        )
+
+    if optim in (EmbOptimType.LAMB, EmbOptimType.PARTIAL_ROWWISE_LAMB):
+        step = opt_state.step + 1
+        rowwise = optim is EmbOptimType.PARTIAL_ROWWISE_LAMB
+        m1_rows = opt_state.momentum1.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
+        )
+        m2_rows = opt_state.momentum2.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
+        )
+        new_m1_rows = beta1 * m1_rows + (1.0 - beta1) * g
+        if rowwise:
+            new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * jnp.mean(
+                g * g, axis=1
+            )
+        else:
+            new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * g * g
+        t = step.astype(weights.dtype)
+        m1_hat = new_m1_rows / (1.0 - beta1**t)
+        m2_hat = new_m2_rows / (1.0 - beta2**t)
+        if rowwise:
+            rt = m1_hat / (jnp.sqrt(m2_hat)[:, None] + eps)
+        else:
+            rt = m1_hat / (jnp.sqrt(m2_hat) + eps)
+        if weight_decay:
+            rt = rt + weight_decay * w_rows
+        w_norm = jnp.linalg.norm(w_rows, axis=1)
+        r_norm = jnp.linalg.norm(rt, axis=1)
+        trust = jnp.where(
+            (w_norm > 0) & (r_norm > 0), w_norm / (r_norm + eps), 1.0
+        )
+        new_w = weights.at[uids].add(
+            -lr * trust[:, None] * rt, mode="drop", **hints
+        )
+        new_m1 = opt_state.momentum1.at[uids].set(
+            new_m1_rows, mode="drop", **hints
+        )
+        new_m2 = opt_state.momentum2.at[uids].set(
+            new_m2_rows, mode="drop", **hints
+        )
+        return new_w, opt_state.replace(
+            momentum1=new_m1, momentum2=new_m2, step=step
+        )
+
+    if optim is EmbOptimType.LARS_SGD:
+        m_rows = opt_state.momentum1.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
+        )
+        w_norm = jnp.linalg.norm(w_rows, axis=1)
+        g_norm = jnp.linalg.norm(g, axis=1)
+        denom = g_norm + weight_decay * w_norm
+        lr_adj = jnp.where(
+            (w_norm > 0) & (denom > 0),
+            lr * eta * w_norm / (denom + eps),
+            lr,
+        )
+        new_m_rows = (
+            momentum * m_rows
+            + lr_adj[:, None] * (g + weight_decay * w_rows)
+        )
+        new_w = weights.at[uids].add(-new_m_rows, mode="drop", **hints)
+        new_m = opt_state.momentum1.at[uids].set(
+            new_m_rows, mode="drop", **hints
+        )
+        return new_w, opt_state.replace(
+            momentum1=new_m, step=opt_state.step + 1
+        )
 
     raise ValueError(f"unsupported fused optimizer: {optim}")
 
