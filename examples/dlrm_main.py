@@ -46,6 +46,12 @@ def parse_args(argv) -> argparse.Namespace:
     p.add_argument("--tpu_gen", type=str, default="v5e")
     p.add_argument("--shuffle_batches", action="store_true")
     p.add_argument("--validation_freq_within_epoch", type=int, default=None)
+    p.add_argument("--save_dir", type=str, default=None,
+                   help="write a re-shardable checkpoint after training "
+                        "(ref: state_dict checkpointing)")
+    p.add_argument("--package_dir", type=str, default=None,
+                   help="export a quantized int8 serving package "
+                        "(ref: examples/dlrm/dlrm_packager.py)")
     return p.parse_args(argv)
 
 
@@ -204,6 +210,20 @@ def main(argv: Optional[List[str]] = None) -> dict:
             f"epoch {epoch}: val AUROC {results['auroc']:.5f} "
             f"accuracy {results['accuracy']:.5f}"
         )
+
+    if args.save_dir:
+        from torchrec_tpu.utils.checkpoint import save_reshardable
+
+        save_reshardable(args.save_dir, dmp, state)
+        print(f"checkpoint written to {args.save_dir}")
+
+    if args.package_dir:
+        from torchrec_tpu.inference import quantize_embeddings
+        from torchrec_tpu.modules.embedding_configs import DataType
+
+        pm = quantize_embeddings(dmp, state, DataType.INT8)
+        pm.save(args.package_dir)
+        print(f"serving package written to {args.package_dir}")
     return results
 
 
