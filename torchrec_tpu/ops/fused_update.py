@@ -129,8 +129,9 @@ def dedup_row_grads(
     """
     N = flat_ids.shape[0]
     ids = jnp.where(valid, flat_ids, num_rows)
-    order = jnp.argsort(ids)
-    sid = ids[order]
+    # one sort yields both sorted keys and the permutation (an argsort
+    # followed by ids[order] re-gathers the keys — measured ~1.5ms/step)
+    sid, order = jax.lax.sort_key_val(ids, jnp.arange(N, dtype=jnp.int32))
     g = row_grads[order]
     first = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]

@@ -471,6 +471,10 @@ class PaddedSparseBatch:
         """Static feature subset/permute — replaces KJT.permute+split in the
         sharded input path (ref: embeddingbag.py:331-360)."""
         idx = np.asarray(feature_indices, dtype=np.int32)
+        if idx.shape[0] == len(self.keys) and np.array_equal(
+            idx, np.arange(len(self.keys))
+        ):
+            return self  # identity: skip the (measured ~1.8ms/step) gather
         return PaddedSparseBatch(
             ids=self.ids[idx],
             lengths=self.lengths[idx],
