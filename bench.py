@@ -41,7 +41,7 @@ def main():
     DENSE_IN = 13
     B = 8192
     L = 1  # Criteo: exactly one id per feature
-    STEPS = 20
+    STEPS = 60
 
     tables = tuple(
         EmbeddingBagConfig(

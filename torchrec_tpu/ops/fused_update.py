@@ -196,17 +196,41 @@ def apply_fused_update(
     fused_params["optimizer"], batched_embedding_kernel.py:260-284).
     """
     R = weights.shape[0]
-    uids, g = dedup_row_grads(flat_ids, row_grads, valid, R)
 
     from torchrec_tpu.ops.embedding import _use_pallas
 
     if _use_pallas(weights.dtype, weights.shape[1], 1) and optim_supports_pallas(
         opt_state.optim
     ):
+        uids_c, g_c = dedup_row_grads(flat_ids, row_grads, valid, R)
         return _apply_fused_update_pallas(
-            weights, opt_state, uids, g, learning_rate,
+            weights, opt_state, uids_c, g_c, learning_rate,
             eps=eps, weight_decay=weight_decay, beta1=beta1, beta2=beta2,
         )
+
+    # --- sorted positional combine (no compaction scatter) ---------------
+    # Tokens sorted by row id; each duplicate run's TOTAL gradient lands at
+    # the run's first position via a segment_sum keyed by run-start index;
+    # dup positions carry zeros. Scatters then use the sorted-with-
+    # duplicates ids directly (measured as fast as sorted-unique on v5e),
+    # with updates forced to zero at dup slots. Invalid tokens sort to the
+    # end under sentinel id R and are dropped by mode="drop".
+    N = flat_ids.shape[0]
+    ids_s = jnp.where(valid, flat_ids, R)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    uids, order = jax.lax.sort_key_val(ids_s, pos)  # sorted ids + perm
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), uids[1:] != uids[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(first, pos, 0))
+    g = jax.ops.segment_sum(
+        row_grads[order], run_start, num_segments=N, indices_are_sorted=True
+    )  # run totals at first positions, zeros at dup positions
+    fmask = first & (uids < R)
+    fm = fmask.astype(weights.dtype)
+
+    hints = dict(indices_are_sorted=True)  # duplicates allowed
+
     _L2_ON_GRAD = (
         EmbOptimType.SGD,
         EmbOptimType.EXACT_SGD,
@@ -215,50 +239,33 @@ def apply_fused_update(
         EmbOptimType.ADAM,
     )
     if weight_decay and opt_state.optim in _L2_ON_GRAD:
-        g = g + weight_decay * weights.at[uids].get(
-            mode="fill", fill_value=0.0, indices_are_sorted=True,
-            unique_indices=True,
+        g = g + (weight_decay * fm)[:, None] * weights.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
         )
     lr = jnp.asarray(learning_rate, dtype=weights.dtype)
     optim = opt_state.optim
 
     if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
-        new_w = weights.at[uids].add(
-            -lr * g, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
+        new_w = weights.at[uids].add(-lr * g, mode="drop", **hints)
         return new_w, opt_state.replace(step=opt_state.step + 1)
 
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         m = opt_state.momentum1
-        g_sq = jnp.mean(g * g, axis=1)  # [N]
-        new_m = m.at[uids].add(
-            g_sq, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
-        m_rows = new_m.at[uids].get(
-            mode="fill", fill_value=1.0, indices_are_sorted=True,
-            unique_indices=True,
-        )
+        g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
+        new_m = m.at[uids].add(g_sq, mode="drop", **hints)
+        m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0, **hints)
         upd = -lr * g / (jnp.sqrt(m_rows)[:, None] + eps)
-        new_w = weights.at[uids].add(
-            upd, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
+        new_w = weights.at[uids].add(upd, mode="drop", **hints)
         return new_w, opt_state.replace(
             momentum1=new_m, step=opt_state.step + 1
         )
 
     if optim is EmbOptimType.ADAGRAD:
         m = opt_state.momentum1
-        new_m = m.at[uids].add(
-            g * g, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
-        m_rows = new_m.at[uids].get(
-            mode="fill", fill_value=1.0, indices_are_sorted=True,
-            unique_indices=True,
-        )
+        new_m = m.at[uids].add(g * g, mode="drop", **hints)
+        m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0, **hints)
         upd = -lr * g / (jnp.sqrt(m_rows) + eps)
-        new_w = weights.at[uids].add(
-            upd, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
+        new_w = weights.at[uids].add(upd, mode="drop", **hints)
         return new_w, opt_state.replace(
             momentum1=new_m, step=opt_state.step + 1
         )
@@ -267,34 +274,25 @@ def apply_fused_update(
         step = opt_state.step + 1
         m1 = opt_state.momentum1
         m2 = opt_state.momentum2
-        m1_rows = m1.at[uids].get(
-            mode="fill", fill_value=0.0, indices_are_sorted=True,
-            unique_indices=True,
-        )
-        m2_rows = m2.at[uids].get(
-            mode="fill", fill_value=0.0, indices_are_sorted=True,
-            unique_indices=True,
-        )
+        m1_rows = m1.at[uids].get(mode="fill", fill_value=0.0, **hints)
+        m2_rows = m2.at[uids].get(mode="fill", fill_value=0.0, **hints)
         new_m1_rows = beta1 * m1_rows + (1.0 - beta1) * g
         new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * g * g
-        new_m1 = m1.at[uids].set(
-            new_m1_rows, mode="drop", indices_are_sorted=True,
-            unique_indices=True,
+        # momentum "set" becomes a masked delta-add: duplicate slots must
+        # not write (their new_m*_rows are stale beta-decayed values)
+        new_m1 = m1.at[uids].add(
+            fm[:, None] * (new_m1_rows - m1_rows), mode="drop", **hints
         )
-        new_m2 = m2.at[uids].set(
-            new_m2_rows, mode="drop", indices_are_sorted=True,
-            unique_indices=True,
+        new_m2 = m2.at[uids].add(
+            fm[:, None] * (new_m2_rows - m2_rows), mode="drop", **hints
         )
         t = step.astype(weights.dtype)
         m1_hat = new_m1_rows / (1.0 - beta1**t)
         m2_hat = new_m2_rows / (1.0 - beta2**t)
-        upd = -lr * m1_hat / (jnp.sqrt(m2_hat) + eps)
-        new_w = weights.at[uids].add(
-            upd, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
+        upd = -lr * fm[:, None] * m1_hat / (jnp.sqrt(m2_hat) + eps)
+        new_w = weights.at[uids].add(upd, mode="drop", **hints)
         return new_w, opt_state.replace(momentum1=new_m1, momentum2=new_m2, step=step)
 
-    hints = dict(indices_are_sorted=True, unique_indices=True)
     w_rows = weights.at[uids].get(mode="fill", fill_value=0.0, **hints)
 
     if optim in (EmbOptimType.PARTIAL_ROWWISE_ADAM,):
@@ -315,12 +313,13 @@ def apply_fused_update(
         upd = -lr * m1_hat / (jnp.sqrt(m2_hat)[:, None] + eps)
         if weight_decay:
             upd = upd - lr * weight_decay * w_rows
+        upd = upd * fm[:, None]
         new_w = weights.at[uids].add(upd, mode="drop", **hints)
-        new_m1 = opt_state.momentum1.at[uids].set(
-            new_m1_rows, mode="drop", **hints
+        new_m1 = opt_state.momentum1.at[uids].add(
+            fm[:, None] * (new_m1_rows - m1_rows), mode="drop", **hints
         )
-        new_m2 = opt_state.momentum2.at[uids].set(
-            new_m2_rows, mode="drop", **hints
+        new_m2 = opt_state.momentum2.at[uids].add(
+            fm * (new_m2_rows - m2_rows), mode="drop", **hints
         )
         return new_w, opt_state.replace(
             momentum1=new_m1, momentum2=new_m2, step=step
@@ -357,13 +356,15 @@ def apply_fused_update(
             (w_norm > 0) & (r_norm > 0), w_norm / (r_norm + eps), 1.0
         )
         new_w = weights.at[uids].add(
-            -lr * trust[:, None] * rt, mode="drop", **hints
+            -lr * (trust * fm)[:, None] * rt, mode="drop", **hints
         )
-        new_m1 = opt_state.momentum1.at[uids].set(
-            new_m1_rows, mode="drop", **hints
+        new_m1 = opt_state.momentum1.at[uids].add(
+            fm[:, None] * (new_m1_rows - m1_rows), mode="drop", **hints
         )
-        new_m2 = opt_state.momentum2.at[uids].set(
-            new_m2_rows, mode="drop", **hints
+        m2_delta = new_m2_rows - m2_rows
+        new_m2 = opt_state.momentum2.at[uids].add(
+            (fm * m2_delta) if m2_delta.ndim == 1 else fm[:, None] * m2_delta,
+            mode="drop", **hints,
         )
         return new_w, opt_state.replace(
             momentum1=new_m1, momentum2=new_m2, step=step
@@ -385,9 +386,11 @@ def apply_fused_update(
             momentum * m_rows
             + lr_adj[:, None] * (g + weight_decay * w_rows)
         )
-        new_w = weights.at[uids].add(-new_m_rows, mode="drop", **hints)
-        new_m = opt_state.momentum1.at[uids].set(
-            new_m_rows, mode="drop", **hints
+        new_w = weights.at[uids].add(
+            -fm[:, None] * new_m_rows, mode="drop", **hints
+        )
+        new_m = opt_state.momentum1.at[uids].add(
+            fm[:, None] * (new_m_rows - m_rows), mode="drop", **hints
         )
         return new_w, opt_state.replace(
             momentum1=new_m, step=opt_state.step + 1
