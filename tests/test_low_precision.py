@@ -1,0 +1,113 @@
+"""Reduced-precision (bf16/fp16) embedding tables.
+
+ref: fbgemm weights_precision / torchrec DataType.FP16
+(modules/embedding_configs.py:26, data_type_to_sparse_type :77) — tables
+store in half precision, pooling accumulates fp32, optimizer state stays
+fp32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrec_tpu.modules import EmbeddingBagConfig
+from torchrec_tpu.modules.embedding_configs import DataType
+from torchrec_tpu.ops.fused_update import EmbOptimType
+from torchrec_tpu.parallel import (
+    ParameterSharding,
+    ShardedEmbeddingBagCollection,
+    ShardingEnv,
+    ShardingType,
+)
+from torchrec_tpu.sparse import KeyedJaggedTensor
+
+N_DEV = 8
+B, L, D, R = 16, 2, 16, 64
+LR = 0.1
+
+
+def _tables(dt):
+    return (
+        EmbeddingBagConfig(num_embeddings=R, embedding_dim=D, name="t0",
+                           feature_names=["f0"], data_type=dt),
+        EmbeddingBagConfig(num_embeddings=40, embedding_dim=D, name="t1",
+                           feature_names=["f1"], data_type=dt),
+    )
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    feats = ["f0", "f1"]
+    rows = {"f0": R, "f1": 40}
+    lengths = rng.randint(0, L + 1, size=(2 * B,)).astype(np.int32)
+    vals = []
+    for fi, f in enumerate(feats):
+        for b in range(B):
+            vals.extend(
+                rng.randint(0, rows[f], size=(lengths[fi * B + b],)).tolist()
+            )
+    return KeyedJaggedTensor.from_lengths(
+        feats, jnp.asarray(np.asarray(vals, np.int32)), jnp.asarray(lengths)
+    ).to_padded(L)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return ShardingEnv.from_devices()
+
+
+@pytest.mark.parametrize("dt", [DataType.BF16, DataType.FP16],
+                         ids=lambda d: d.value)
+@pytest.mark.parametrize("stype", [ShardingType.ROW_WISE,
+                                   ShardingType.TABLE_WISE],
+                         ids=lambda s: s.value)
+def test_low_precision_matches_fp32_loosely(env, dt, stype):
+    rng = np.random.RandomState(0)
+    dense = {
+        "t0": rng.randn(R, D).astype(np.float32),
+        "t1": rng.randn(40, D).astype(np.float32),
+    }
+    sb = _batch()
+    plan = {
+        "t0": ParameterSharding(stype, ranks=[1] if stype is ShardingType.TABLE_WISE else None),
+        "t1": ParameterSharding(stype, ranks=[4] if stype is ShardingType.TABLE_WISE else None),
+    }
+
+    outs = {}
+    states_by_dt = {}
+    ebcs = {}
+    for cur in (DataType.FP32, dt):
+        ebc = ShardedEmbeddingBagCollection(
+            env, _tables(cur), plan, optim=EmbOptimType.ROWWISE_ADAGRAD
+        )
+        states = ebc.shard_from_dense(dense)
+        # storage dtype actually honored
+        want = {DataType.FP32: jnp.float32, DataType.BF16: jnp.bfloat16,
+                DataType.FP16: jnp.float16}[cur]
+        assert states[0].weights.dtype == want
+        kt = jax.jit(ebc.forward)(states, sb)
+        assert kt.values.dtype == jnp.float32  # fp32 accumulation contract
+        outs[cur] = np.asarray(kt.values)
+        states_by_dt[cur] = states
+        ebcs[cur] = ebc
+
+    np.testing.assert_allclose(
+        outs[dt], outs[DataType.FP32], rtol=2e-2, atol=2e-2
+    )
+
+    # one update step stays close to the fp32 path
+    d_vals = rng.randn(*outs[DataType.FP32].shape).astype(np.float32)
+    got = {}
+    for cur in (DataType.FP32, dt):
+        new_states = jax.jit(ebcs[cur].update)(
+            states_by_dt[cur], sb, jnp.asarray(d_vals), LR
+        )
+        got[cur] = {
+            k: np.asarray(v, dtype=np.float32)
+            for k, v in ebcs[cur].unshard_to_dense(new_states).items()
+        }
+    for name in dense:
+        np.testing.assert_allclose(
+            got[dt][name], got[DataType.FP32][name], rtol=3e-2, atol=3e-2
+        )

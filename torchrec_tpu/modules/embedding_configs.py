@@ -48,6 +48,22 @@ def pooling_type_to_mode(p: PoolingType) -> PoolingMode:
     }[p]
 
 
+def data_type_to_jnp_dtype(dt: DataType):
+    """Training storage dtype per table (ref: fbgemm weights_precision via
+    `data_type_to_sparse_type`, modules/embedding_configs.py:77). INT
+    types are inference-only (quant path), not valid here."""
+    import jax.numpy as jnp
+
+    m = {
+        DataType.FP32: jnp.float32,
+        DataType.FP16: jnp.float16,
+        DataType.BF16: jnp.bfloat16,
+    }
+    if dt not in m:
+        raise ValueError(f"{dt} is not a training weights dtype")
+    return m[dt]
+
+
 @dataclasses.dataclass
 class BaseEmbeddingConfig:
     num_embeddings: int

@@ -92,7 +92,19 @@ def pooled_lookup(
         )
         return out.reshape(*lead, D)
     rows = weights[ids.reshape(-1)].reshape(*lead, L, D)
-    return jnp.einsum("...ld,...l->...d", rows, coeff.astype(weights.dtype))
+    # low-precision tables (bf16/fp16) pool with fp32 accumulation and
+    # return fp32 (ref: fbgemm output_dtype defaults to FP32)
+    acc = (
+        jnp.float32
+        if weights.dtype in (jnp.bfloat16, jnp.float16)
+        else weights.dtype
+    )
+    return jnp.einsum(
+        "...ld,...l->...d",
+        rows,
+        coeff.astype(weights.dtype),
+        preferred_element_type=acc,
+    )
 
 
 def lookup_rows(weights: Array, flat_ids: Array, impl: str = "auto") -> Array:

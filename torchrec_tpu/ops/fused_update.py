@@ -227,7 +227,12 @@ def apply_fused_update(
         row_grads[order], run_start, num_segments=N, indices_are_sorted=True
     )  # run totals at first positions, zeros at dup positions
     fmask = first & (uids < R)
-    fm = fmask.astype(weights.dtype)
+    cdt = (
+        jnp.float32
+        if weights.dtype in (jnp.bfloat16, jnp.float16)
+        else weights.dtype
+    )
+    fm = fmask.astype(cdt)
 
     hints = dict(indices_are_sorted=True)  # duplicates allowed
 
@@ -241,12 +246,14 @@ def apply_fused_update(
     if weight_decay and opt_state.optim in _L2_ON_GRAD:
         g = g + (weight_decay * fm)[:, None] * weights.at[uids].get(
             mode="fill", fill_value=0.0, **hints
-        )
-    lr = jnp.asarray(learning_rate, dtype=weights.dtype)
+        ).astype(cdt)
+    lr = jnp.asarray(learning_rate, dtype=cdt)
     optim = opt_state.optim
 
     if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
-        new_w = weights.at[uids].add(-lr * g, mode="drop", **hints)
+        new_w = weights.at[uids].add(
+            (-lr * g).astype(weights.dtype), mode="drop", **hints
+        )
         return new_w, opt_state.replace(step=opt_state.step + 1)
 
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
@@ -255,7 +262,9 @@ def apply_fused_update(
         new_m = m.at[uids].add(g_sq, mode="drop", **hints)
         m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0, **hints)
         upd = -lr * g / (jnp.sqrt(m_rows)[:, None] + eps)
-        new_w = weights.at[uids].add(upd, mode="drop", **hints)
+        new_w = weights.at[uids].add(
+            upd.astype(weights.dtype), mode="drop", **hints
+        )
         return new_w, opt_state.replace(
             momentum1=new_m, step=opt_state.step + 1
         )
@@ -265,7 +274,9 @@ def apply_fused_update(
         new_m = m.at[uids].add(g * g, mode="drop", **hints)
         m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0, **hints)
         upd = -lr * g / (jnp.sqrt(m_rows) + eps)
-        new_w = weights.at[uids].add(upd, mode="drop", **hints)
+        new_w = weights.at[uids].add(
+            upd.astype(weights.dtype), mode="drop", **hints
+        )
         return new_w, opt_state.replace(
             momentum1=new_m, step=opt_state.step + 1
         )
@@ -290,10 +301,14 @@ def apply_fused_update(
         m1_hat = new_m1_rows / (1.0 - beta1**t)
         m2_hat = new_m2_rows / (1.0 - beta2**t)
         upd = -lr * fm[:, None] * m1_hat / (jnp.sqrt(m2_hat) + eps)
-        new_w = weights.at[uids].add(upd, mode="drop", **hints)
+        new_w = weights.at[uids].add(
+            upd.astype(weights.dtype), mode="drop", **hints
+        )
         return new_w, opt_state.replace(momentum1=new_m1, momentum2=new_m2, step=step)
 
-    w_rows = weights.at[uids].get(mode="fill", fill_value=0.0, **hints)
+    w_rows = weights.at[uids].get(
+        mode="fill", fill_value=0.0, **hints
+    ).astype(cdt)
 
     if optim in (EmbOptimType.PARTIAL_ROWWISE_ADAM,):
         step = opt_state.step + 1
@@ -314,7 +329,9 @@ def apply_fused_update(
         if weight_decay:
             upd = upd - lr * weight_decay * w_rows
         upd = upd * fm[:, None]
-        new_w = weights.at[uids].add(upd, mode="drop", **hints)
+        new_w = weights.at[uids].add(
+            upd.astype(weights.dtype), mode="drop", **hints
+        )
         new_m1 = opt_state.momentum1.at[uids].add(
             fm[:, None] * (new_m1_rows - m1_rows), mode="drop", **hints
         )
@@ -356,7 +373,8 @@ def apply_fused_update(
             (w_norm > 0) & (r_norm > 0), w_norm / (r_norm + eps), 1.0
         )
         new_w = weights.at[uids].add(
-            -lr * (trust * fm)[:, None] * rt, mode="drop", **hints
+            (-lr * (trust * fm)[:, None] * rt).astype(weights.dtype),
+            mode="drop", **hints,
         )
         new_m1 = opt_state.momentum1.at[uids].add(
             fm[:, None] * (new_m1_rows - m1_rows), mode="drop", **hints
@@ -387,7 +405,8 @@ def apply_fused_update(
             + lr_adj[:, None] * (g + weight_decay * w_rows)
         )
         new_w = weights.at[uids].add(
-            -fm[:, None] * new_m_rows, mode="drop", **hints
+            (-fm[:, None] * new_m_rows).astype(weights.dtype),
+            mode="drop", **hints,
         )
         new_m = opt_state.momentum1.at[uids].add(
             fm[:, None] * (new_m_rows - m_rows), mode="drop", **hints

@@ -17,6 +17,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from torchrec_tpu.modules.embedding_configs import (
+    DataType,
     EmbeddingBagConfig,
     PoolingType,
     pooling_type_to_mode,
@@ -46,6 +47,7 @@ class GroupMeta:
     tables: Tuple[ShardedTableMeta, ...]
     dim: int
     is_weighted: bool
+    data_type: DataType = DataType.FP32
 
     @property
     def features(self) -> Tuple[str, ...]:
@@ -98,7 +100,8 @@ def group_tables(
             if ps.sharding_type is ShardingType.TABLE_WISE
             else (ps.host or 0),
         )
-        key = (ps.sharding_type, cfg.embedding_dim)
+        dt = getattr(cfg, "data_type", DataType.FP32)
+        key = (ps.sharding_type, cfg.embedding_dim, dt)
         if key not in groups:
             groups[key] = []
             order.append(key)
@@ -109,6 +112,7 @@ def group_tables(
             tables=tuple(groups[key]),
             dim=key[1],
             is_weighted=is_weighted,
+            data_type=key[2],
         )
         for key in order
     ]

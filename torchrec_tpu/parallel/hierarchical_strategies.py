@@ -137,7 +137,7 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                         w[l * sr : (l + 1) * sr]
                     )
         return jax.device_put(
-            jnp.asarray(arr), self._sharding(P(AXIS))
+            jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS))
         )
 
     def unshard_to_dense(self, weights):
@@ -346,7 +346,7 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                     arr[h * self.Lc + l, off : off + t.rows] = (
                         w[:, l * self.cols_loc : (l + 1) * self.cols_loc]
                     )
-        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)

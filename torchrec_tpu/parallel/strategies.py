@@ -95,6 +95,13 @@ class BaseEmbeddingShardingStrategy:
         self.optim_kwargs = dict(optim_kwargs or {})
         self.n = env.world_size
         self.dim = meta.dim
+        # table storage dtype (fp32/fp16/bf16); optimizer state and pooled
+        # outputs stay fp32 (ref: fbgemm weights_precision fused_param)
+        from torchrec_tpu.modules.embedding_configs import (
+            data_type_to_jnp_dtype,
+        )
+
+        self.w_dtype = data_type_to_jnp_dtype(meta.data_type)
         self._build()
 
     # -- layout ------------------------------------------------------------
@@ -258,7 +265,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         arr = np.concatenate(
             [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )
-        return jax.device_put(jnp.asarray(arr), self._sharding(P()))
+        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P()))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -377,7 +384,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 )
             parts.append(w.reshape(n, int(sr), t.dim))
         arr = np.concatenate(parts, axis=1)  # [n, rows_loc, D]
-        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)  # [n, rows_loc, D]
@@ -535,7 +542,7 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 t = self.meta.tables[ti]
                 arr[d, off : off + t.rows] = np.asarray(dense[t.name])
                 off += t.rows
-        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -678,7 +685,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )  # [R, D]
         arr = np.stack(np.split(arr, self.n, axis=1), axis=0)  # [n, R, D/n]
-        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)  # [n, R, D/n]
