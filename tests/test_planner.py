@@ -38,7 +38,11 @@ def test_enumerator_rw_shard_geometry():
     opts = enum.enumerate([EmbeddingBagConfig(
         num_embeddings=10, embedding_dim=16, name="t", feature_names=["f"])],
         None)
-    assert len(opts) == 1
+    # one option per kernel (FUSED + the UVM-caching fallback)
+    assert len(opts) == 2
+    assert {o.compute_kernel for o in opts} == {
+        ComputeKernel.FUSED, ComputeKernel.FUSED_UVM_CACHING
+    }
     sizes = [s.size for s in opts[0].shards]
     offsets = [s.offset for s in opts[0].shards]
     # padded-even blocks of ceil(10/4)=3: [3,3,3,1]
@@ -53,7 +57,7 @@ def test_enumerator_cw_feasibility():
     ok = enum.enumerate([EmbeddingBagConfig(
         num_embeddings=10, embedding_dim=128, name="a", feature_names=["f"])],
         None)
-    assert len(ok) == 1
+    assert len(ok) == 2  # FUSED + UVM-caching fallback
     assert [s.size for s in ok[0].shards] == [(10, 32)] * 4
     # dim 64 / 4 = 16 < 32 -> infeasible
     bad = enum.enumerate([EmbeddingBagConfig(
@@ -80,7 +84,10 @@ def test_partitioner_tw_balances_load():
                            name=f"t{i}", feature_names=[f"f{i}"])
         for i in range(4)
     ]
-    opts = enum.enumerate(tables, None)
+    opts = [
+        o for o in enum.enumerate(tables, None)
+        if o.compute_kernel is ComputeKernel.FUSED
+    ]
     for o in opts:
         EmbeddingPerfEstimator(topo).estimate(o)
         EmbeddingStorageEstimator(topo).estimate(o)
@@ -178,3 +185,38 @@ def test_planner_plan_feeds_dmp():
         state, dense, sb, labels
     )
     assert np_.isfinite(float(loss))
+
+
+def test_planner_falls_back_to_uvm_caching():
+    """A table too big for HBM plans as FUSED_UVM_CACHING (host table +
+    HBM row cache) instead of failing (ref: fbgemm EmbeddingLocation
+    MANAGED_CACHING; planner kernel/bw model constants.py:30-73)."""
+    from torchrec_tpu.parallel.types import ComputeKernel
+    from torchrec_tpu.planner import (
+        EmbeddingShardingPlanner,
+        ParameterConstraints,
+        Topology,
+    )
+
+    topo = Topology(world_size=8, tpu_gen="v5e", batch_size=256)
+    # ~40 GB fp32 table: cannot fit a 16 GB v5e even fully row-sharded
+    big = EmbeddingBagConfig(
+        num_embeddings=80_000_000, embedding_dim=128, name="huge",
+        feature_names=["fh"],
+    )
+    small = EmbeddingBagConfig(
+        num_embeddings=1000, embedding_dim=128, name="small",
+        feature_names=["fs"],
+    )
+    planner = EmbeddingShardingPlanner(
+        topo,
+        constraints={
+            "huge": ParameterConstraints(
+                sharding_types=[ShardingType.TABLE_WISE]
+            )
+        },
+    )
+    plan = planner.plan((big, small), module_path="m")
+    entries = plan.plan["m"]
+    assert entries["huge"].compute_kernel is ComputeKernel.FUSED_UVM_CACHING
+    assert entries["small"].compute_kernel is ComputeKernel.FUSED

@@ -84,10 +84,22 @@ def group_tables(
     each group (output feature order is reassembled by the sharded module)."""
     groups: Dict[Tuple[ShardingType, int], List[ShardedTableMeta]] = {}
     order: List[Tuple[ShardingType, int]] = []
+    from torchrec_tpu.parallel.types import ComputeKernel
+
     for cfg, enames in zip(tables, embedding_names_per_table):
         ps = plan.get(cfg.name)
         if ps is None:
             raise ValueError(f"no sharding plan entry for table {cfg.name}")
+        if (
+            getattr(ps, "compute_kernel", None)
+            is ComputeKernel.FUSED_UVM_CACHING
+        ):
+            raise NotImplementedError(
+                f"table {cfg.name}: FUSED_UVM_CACHING is planned for "
+                "host offload — drive it with ops.uvm_cache."
+                "UvmCachedEmbedding (host-managed staging per step); the "
+                "jitted sharded EBC path holds tables in HBM only"
+            )
         pooling = pooling_type_to_mode(getattr(cfg, "pooling", PoolingType.SUM))
         meta = ShardedTableMeta(
             name=cfg.name,

@@ -26,6 +26,14 @@ FUSED_KERNEL_BW_FRACTION = 0.5
 DENSE_KERNEL_BW_FRACTION = 0.35
 QUANT_KERNEL_BW_FRACTION = 0.6
 
+# UVM-equivalent (host table + HBM row cache, ops/uvm_cache.py):
+# CACHE_LOAD_FACTOR of the table stays in HBM; misses stream over host
+# DRAM at a fraction of DDR bw (staging overhead), mirroring the
+# reference's UVM-caching bandwidth model (ref constants.py:30-73 where
+# UVM bw = DDR/10..DDR/2 depending on caching).
+UVM_CACHE_LOAD_FACTOR = 0.2
+UVM_CACHING_BW_FRACTION = 0.5  # x DDR_MEM_BW effective
+
 BATCH_SIZE_DEFAULT = 512
 POOLING_FACTOR_DEFAULT = 1.0
 CACHING_RATIO_DEFAULT = 0.2

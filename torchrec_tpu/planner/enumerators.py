@@ -35,7 +35,10 @@ DEFAULT_SHARDING_TYPES = [
     ShardingType.ROW_WISE,
     ShardingType.COLUMN_WISE,
 ]
-DEFAULT_KERNELS = [ComputeKernel.FUSED]
+# FUSED preferred; the UVM-caching kernel is enumerated as the fallback
+# for tables that cannot fit in HBM (the proposer ranks it worse on perf,
+# so it is only chosen when FUSED placements are infeasible)
+DEFAULT_KERNELS = [ComputeKernel.FUSED, ComputeKernel.FUSED_UVM_CACHING]
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -32,6 +32,12 @@ _DTYPE_BYTES = 4  # fp32 training
 
 
 def _kernel_bw(topology: Topology, kernel: ComputeKernel) -> float:
+    if kernel is ComputeKernel.FUSED_UVM_CACHING:
+        # hit fraction at HBM speed, miss fraction over host DRAM
+        lf = constants.UVM_CACHE_LOAD_FACTOR
+        hbm = topology.hbm_mem_bw * constants.FUSED_KERNEL_BW_FRACTION
+        ddr = constants.DDR_MEM_BW * constants.UVM_CACHING_BW_FRACTION
+        return lf * hbm + (1.0 - lf) * ddr
     frac = {
         ComputeKernel.FUSED: constants.FUSED_KERNEL_BW_FRACTION,
         ComputeKernel.DENSE: constants.DENSE_KERNEL_BW_FRACTION,
@@ -127,6 +133,16 @@ class EmbeddingStorageEstimator:
             if option.sharding_type is ShardingType.DATA_PARALLEL:
                 # replicated grads sync buffer (ref: 2x for DP only)
                 optimizer += tensor
-            shard.storage = Storage(
-                hbm=int(tensor + optimizer + io_buffers), ddr=0
-            )
+            if option.compute_kernel is ComputeKernel.FUSED_UVM_CACHING:
+                # table + optimizer live on the host; HBM holds the row
+                # cache + io buffers (ref shard_estimators.py: UVM-caching
+                # HBM = ddr x caching_ratio)
+                cache = int(tensor * constants.UVM_CACHE_LOAD_FACTOR)
+                shard.storage = Storage(
+                    hbm=int(cache + io_buffers),
+                    ddr=int(tensor + optimizer),
+                )
+            else:
+                shard.storage = Storage(
+                    hbm=int(tensor + optimizer + io_buffers), ddr=0
+                )
