@@ -173,3 +173,79 @@ def test_checkpoint_reshardable_roundtrip(tmp_path):
     l2 = dmp2.forward(state2, dense, sb, labels)[0]
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     assert int(state2.step) == 1
+
+
+def test_reshardable_checkpoint_same_plan_restores_momentum(tmp_path):
+    """Same-plan reload restores fused momenta exactly: continuing
+    training matches an uninterrupted run bit-for-bit (ref: resume =
+    same plan + load_state_dict, SURVEY §5.4)."""
+    import optax
+
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+    from torchrec_tpu.utils.checkpoint import load_reshardable, save_reshardable
+
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=64, embedding_dim=16, name=f"t{i}",
+                           feature_names=[f"f{i}"]) for i in range(2)
+    )
+    model = DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(tables=tables,
+                                                        max_feature_length=1),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+        over_arch_layer_sizes=(8, 1)))
+    rng = np.random.RandomState(0)
+    B = 16
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0", "f1"],
+        jnp.asarray(rng.randint(0, 64, 2 * B), jnp.int32),
+        jnp.asarray(np.ones(2 * B, np.int32)),
+    ).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, 4).astype(np.float32))
+    labels = jnp.asarray((rng.rand(B) > 0.5).astype(np.float32))
+
+    def make_dmp():
+        return DistributedModelParallel(
+            model, env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+                "t0": ParameterSharding(ShardingType.ROW_WISE),
+                "t1": ParameterSharding(ShardingType.ROW_WISE)}}),
+            dense_optimizer=optax.sgd(0.1),
+        )
+
+    dmp = make_dmp()
+    step = dmp.make_train_step(donate=False)
+    state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+    state, _, _ = step(state, dense, sb, labels)
+    state, _, _ = step(state, dense, sb, labels)
+    path = str(tmp_path / "ckpt.npz")
+    save_reshardable(path, dmp, state)
+
+    # uninterrupted continuation
+    cont, loss_ref, _ = step(state, dense, sb, labels)
+
+    # resumed continuation on a fresh DMP with the SAME plan
+    dmp2 = make_dmp()
+    state2 = dmp2.init(jax.random.PRNGKey(7), dense, sb, labels)
+    state2 = load_reshardable(path, dmp2, state2)
+    for gs_a, gs_b in zip(
+        state.emb_states["dlrm/embedding_bag_collection"],
+        state2.emb_states["dlrm/embedding_bag_collection"],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(gs_a.opt.momentum1), np.asarray(gs_b.opt.momentum1)
+        )
+    _, loss_resumed, _ = dmp2.make_train_step(donate=False)(
+        state2, dense, sb, labels
+    )
+    np.testing.assert_allclose(
+        float(loss_resumed), float(loss_ref), rtol=1e-6
+    )
