@@ -118,7 +118,13 @@ class ShardedEmbeddingBagCollection:
         """-> KeyedTensor [B, sum(D)] (batch-sharded over the mesh)."""
         per_name: Dict[str, Array] = {}
         for gi, (strat, group) in enumerate(zip(self.strategies, self.groups)):
-            out = strat.forward(states[gi], self._group_batch(sb, gi))
+            # profiler label per comm/compute region, the analogue of the
+            # reference's record_function markers (SURVEY §5.1;
+            # comm_ops.py:489-921 "## alltoall_fwd_single ##" etc.)
+            with jax.named_scope(
+                f"## ebc_fwd_{group.sharding_type.value}_g{gi} ##"
+            ):
+                out = strat.forward(states[gi], self._group_batch(sb, gi))
             for j, ename in enumerate(group.embedding_names):
                 per_name[ename] = out[j]
         values = jnp.concatenate(
@@ -147,12 +153,15 @@ class ShardedEmbeddingBagCollection:
                 lo, hi = self._out_offsets[pos], self._out_offsets[pos + 1]
                 slices.append(d_values[:, lo:hi])
             d_pooled = jnp.stack(slices, axis=0)  # [F_g, B, D_g]
-            new_states.append(
-                strat.update(
-                    states[gi],
-                    self._group_batch(sb, gi),
-                    d_pooled,
-                    learning_rate,
+            with jax.named_scope(
+                f"## ebc_update_{group.sharding_type.value}_g{gi} ##"
+            ):
+                new_states.append(
+                    strat.update(
+                        states[gi],
+                        self._group_batch(sb, gi),
+                        d_pooled,
+                        learning_rate,
+                    )
                 )
-            )
         return tuple(new_states)

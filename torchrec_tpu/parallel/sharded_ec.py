@@ -86,7 +86,10 @@ class ShardedEmbeddingCollection:
         """-> {embedding_name: [B, L, D]} per-token rows (pad rows zero)."""
         out: Dict[str, Array] = {}
         for gi, (strat, group) in enumerate(zip(self.strategies, self.groups)):
-            rows = strat.forward(states[gi], self._group_batch(sb, gi))
+            with jax.named_scope(
+                f"## ec_fwd_{group.sharding_type.value}_g{gi} ##"
+            ):
+                rows = strat.forward(states[gi], self._group_batch(sb, gi))
             for j, ename in enumerate(group.embedding_names):
                 out[ename] = rows[j]
         return out
@@ -100,11 +103,14 @@ class ShardedEmbeddingCollection:
             d = jnp.stack(
                 [d_tokens[ename] for ename in group.embedding_names], axis=0
             )  # [F_g, B, L, D]
-            new_states.append(
-                strat.update(
-                    states[gi], self._group_batch(sb, gi), d, learning_rate
+            with jax.named_scope(
+                f"## ec_update_{group.sharding_type.value}_g{gi} ##"
+            ):
+                new_states.append(
+                    strat.update(
+                        states[gi], self._group_batch(sb, gi), d, learning_rate
+                    )
                 )
-            )
         return tuple(new_states)
 
     # -- stacked views (used by DistributedModelParallel's injection) -------
