@@ -139,3 +139,60 @@ def test_untouched_rows_unchanged(optim):
     touched = set(_combined(ids, grads, valid).keys())
     untouched = [r for r in range(R) if r not in touched]
     np.testing.assert_array_equal(got_w[untouched], w[untouched])
+
+
+def test_run_totals_matmul_path_matches_segment_sum():
+    """The chunked-MXU run-total computation (hit when N%512==0, D%128==0)
+    must equal segment_sum exactly, incl. runs spanning chunk borders."""
+    from torchrec_tpu.ops.fused_update import _RUN_TOTAL_CHUNK, _run_totals
+    import jax
+
+    rng = np.random.RandomState(0)
+    N2, D2 = 8 * _RUN_TOTAL_CHUNK, 128
+    g = jnp.asarray(rng.randn(N2, D2).astype(np.float32))
+    # run starts with long runs crossing chunk boundaries
+    starts = []
+    i = 0
+    while i < N2:
+        run = int(rng.choice([1, 2, 3, 700, 1200]))
+        starts.extend([i] * min(run, N2 - i))
+        i += run
+    rs = jnp.asarray(np.asarray(starts[:N2], np.int32))
+    got = _run_totals(g, rs)
+    want = jax.ops.segment_sum(g, rs, num_segments=N2, indices_are_sorted=True)
+    # accumulation order differs (tree vs sequential) for long runs
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_rowwise_adagrad_large_aligned_batch():
+    """Exercise apply_fused_update through the matmul run-total path."""
+    from torchrec_tpu.ops.fused_update import _RUN_TOTAL_CHUNK
+
+    rng = np.random.RandomState(1)
+    N2 = 4 * _RUN_TOTAL_CHUNK
+    R2, D2 = 300, 128
+    w = rng.randn(R2, D2).astype(np.float32)
+    ids = rng.randint(0, R2, size=(N2,)).astype(np.int32)
+    grads = rng.randn(N2, D2).astype(np.float32)
+    valid = rng.rand(N2) > 0.1
+    opt = init_fused_optimizer_state(R2, D2, EmbOptimType.ROWWISE_ADAGRAD)
+    new_w, new_opt = apply_fused_update(
+        jnp.asarray(w), opt, jnp.asarray(ids), jnp.asarray(grads),
+        jnp.asarray(valid), LR,
+    )
+    # eager exact reference
+    totals = {}
+    for i in range(N2):
+        if valid[i]:
+            totals.setdefault(int(ids[i]), np.zeros(D2, np.float32))
+            totals[int(ids[i])] += grads[i]
+    ref = w.copy()
+    m_ref = np.zeros(R2, np.float32)
+    for r, gt in totals.items():
+        m_ref[r] = (gt**2).mean()
+        ref[r] -= LR * gt / (np.sqrt(m_ref[r]) + EPS)
+    np.testing.assert_allclose(np.asarray(new_w), ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_opt.momentum1), m_ref, rtol=1e-4, atol=1e-6
+    )

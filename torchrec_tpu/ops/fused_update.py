@@ -158,6 +158,43 @@ def dedup_row_grads(
     return uids, sums
 
 
+_RUN_TOTAL_CHUNK = 512
+
+
+def _run_totals(g_sorted: Array, run_start: Array) -> Array:
+    """Segment totals at each run's first position.
+
+    out[k] = sum_{i: run_start[i] == k} g_sorted[i]; zeros elsewhere.
+    Equivalent to `segment_sum(g, run_start)` but computed as a chunked
+    one-hot matmul on the MXU instead of a scatter (the [N, D] sorted
+    scatter costs ~26ns/row dispatch on v5e; the matmul runs at FLOP
+    speed). Runs spanning chunk boundaries contribute a per-chunk carry
+    row scattered separately (n_chunks rows — negligible).
+    """
+    N, D = g_sorted.shape
+    C = _RUN_TOTAL_CHUNK
+    if N % C or D % 128 or N < 4 * C:
+        return jax.ops.segment_sum(
+            g_sorted, run_start, num_segments=N, indices_are_sorted=True
+        )
+    nch = N // C
+    gs = g_sorted.reshape(nch, C, D)
+    rs = run_start.reshape(nch, C)
+    base = (jnp.arange(nch, dtype=run_start.dtype) * C)[:, None]
+    local = rs - base  # < 0 for rows whose run started in an earlier chunk
+    slot = jnp.where(local >= 0, local + 1, 0)  # slot 0 = carry
+    onehot = jax.nn.one_hot(slot, C + 1, dtype=g_sorted.dtype)
+    partial = jnp.einsum(
+        "ncs,ncd->nsd", onehot, gs,
+        preferred_element_type=g_sorted.dtype,
+    )  # [nch, C+1, D]
+    out = partial[:, 1:, :].reshape(N, D)
+    carry_pos = rs[:, 0]  # nondecreasing; duplicates possible (long runs)
+    return out.at[carry_pos].add(
+        partial[:, 0, :], mode="drop", indices_are_sorted=True
+    )
+
+
 def apply_fused_update(
     weights: Array,
     opt_state: FusedOptimizerState,
@@ -223,9 +260,8 @@ def apply_fused_update(
         [jnp.ones((1,), bool), uids[1:] != uids[:-1]]
     )
     run_start = jax.lax.cummax(jnp.where(first, pos, 0))
-    g = jax.ops.segment_sum(
-        row_grads[order], run_start, num_segments=N, indices_are_sorted=True
-    )  # run totals at first positions, zeros at dup positions
+    # run totals at first positions, zeros at dup positions
+    g = _run_totals(row_grads[order], run_start)
     fmask = first & (uids < R)
     cdt = (
         jnp.float32
