@@ -58,6 +58,8 @@ def main():
             dense_in_features=DENSE_IN,
             dense_arch_layer_sizes=(512, 256, DIM),
             over_arch_layer_sizes=(1024, 1024, 512, 256, 1),
+            # bf16 MXU matmuls = the TPU analogue of the reference's TF32
+            dense_dtype=jnp.bfloat16,
         )
     )
     env = ShardingEnv.from_devices(jax.devices()[:1])

@@ -129,3 +129,43 @@ def test_simple_deepfm_forward():
     out = model.apply(params, dense, sb)
     assert out.shape == (B, 1)
     assert ((np.asarray(out) >= 0) & (np.asarray(out) <= 1)).all()
+
+
+def test_dlrm_bf16_dense_close_to_fp32():
+    """bf16 compute dtype (the TF32 analogue) keeps the same params and
+    stays close to the fp32 forward."""
+    import jax.numpy as jnp
+
+    tables = _tables() if "_tables" in dir() else None
+    from torchrec_tpu.models import DLRM
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    tabs = (
+        EmbeddingBagConfig(num_embeddings=50, embedding_dim=8, name="t0",
+                           feature_names=["f0"]),
+    )
+    rng = np.random.RandomState(0)
+    B = 8
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0"], jnp.asarray(rng.randint(0, 50, B), jnp.int32),
+        jnp.asarray(np.ones(B, np.int32)),
+    ).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, 4).astype(np.float32))
+
+    def build(dt):
+        return DLRM(
+            embedding_bag_collection=EmbeddingBagCollection(
+                tables=tabs, max_feature_length=1),
+            dense_in_features=4, dense_arch_layer_sizes=(8, 8),
+            over_arch_layer_sizes=(8, 1), dense_dtype=dt,
+        )
+
+    m32, mb = build(None), build(jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), dense, sb)
+    out32 = m32.apply(params, dense, sb)
+    outb = mb.apply(params, dense, sb)  # same params, bf16 compute
+    assert out32.dtype == outb.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(outb), np.asarray(out32), rtol=5e-2, atol=5e-2
+    )

@@ -11,7 +11,7 @@ indices. All dims are static; run the whole model under one jit.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,10 +41,11 @@ class DenseArch(nn.Module):
     """MLP over dense input -> [B, D] (ref: dlrm.py:116)."""
 
     layer_sizes: Sequence[int]
+    dtype: Any = None  # compute dtype; params stay fp32
 
     @nn.compact
     def __call__(self, features: Array) -> Array:
-        return MLP(self.layer_sizes)(features)
+        return MLP(self.layer_sizes, dtype=self.dtype)(features)
 
 
 class InteractionArch(nn.Module):
@@ -56,6 +57,7 @@ class InteractionArch(nn.Module):
     """
 
     num_sparse_features: int
+    dtype: Any = None  # compute dtype for the Gram matmul (fp32 accum)
 
     def __call__(self, dense_features: Array, sparse_features: Array) -> Array:
         """Call Args: dense_features [B, D]; sparse_features [B, F, D].
@@ -66,6 +68,8 @@ class InteractionArch(nn.Module):
         combined = jnp.concatenate(
             [dense_features[:, None, :], sparse_features], axis=1
         )  # [B, F+1, D]
+        if self.dtype is not None:
+            combined = combined.astype(self.dtype)
         gram = jnp.einsum(
             "bnd,bmd->bnm",
             combined,
@@ -81,14 +85,16 @@ class OverArch(nn.Module):
     """MLP + final linear head (ref: dlrm.py:222)."""
 
     layer_sizes: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: Array) -> Array:
         if len(self.layer_sizes) <= 1:
             raise ValueError("OverArch must have multiple layers.")
-        x = MLP(self.layer_sizes[:-1])(features)
+        x = MLP(self.layer_sizes[:-1], dtype=self.dtype)(features)
         return Perceptron(
-            self.layer_sizes[-1], activation=lambda y: y, name="head"
+            self.layer_sizes[-1], activation=lambda y: y, name="head",
+            dtype=self.dtype,
         )(x)
 
 
@@ -100,6 +106,9 @@ class DLRM(nn.Module):
     dense_in_features: int
     dense_arch_layer_sizes: Tuple[int, ...]
     over_arch_layer_sizes: Tuple[int, ...]
+    # compute dtype of the dense/interaction/over arches; bf16 here is the
+    # TPU analogue of the reference's TF32 A100 matmuls (params/loss fp32)
+    dense_dtype: Any = None
 
     def setup(self) -> None:
         tables = self.embedding_bag_collection.tables
@@ -115,9 +124,15 @@ class DLRM(nn.Module):
             )
         num_features = sum(len(cfg.feature_names) for cfg in tables)
         self.sparse_arch = SparseArch(self.embedding_bag_collection)
-        self.dense_arch = DenseArch(self.dense_arch_layer_sizes)
-        self.inter_arch = InteractionArch(num_features)
-        self.over_arch = OverArch(self.over_arch_layer_sizes)
+        self.dense_arch = DenseArch(
+            self.dense_arch_layer_sizes, dtype=self.dense_dtype
+        )
+        self.inter_arch = InteractionArch(
+            num_features, dtype=self.dense_dtype
+        )
+        self.over_arch = OverArch(
+            self.over_arch_layer_sizes, dtype=self.dense_dtype
+        )
         self._num_features = num_features
 
     def __call__(
@@ -129,7 +144,8 @@ class DLRM(nn.Module):
         embedded_sparse = self.sparse_arch(sparse_features)
         concatenated_dense = self.inter_arch(embedded_dense, embedded_sparse)
         logits = self.over_arch(concatenated_dense)
-        return logits
+        # logits/loss always fp32 regardless of the compute dtype
+        return logits.astype(jnp.float32)
 
 
 class DLRMTrain(nn.Module):

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -12,11 +12,14 @@ Array = jax.Array
 
 
 class Perceptron(nn.Module):
-    """Linear + activation (ref: mlp.py:16)."""
+    """Linear + activation (ref: mlp.py:16). `dtype` sets the COMPUTE
+    precision (params stay fp32) — bf16 is the TPU analogue of the
+    reference's TF32 matmuls on A100."""
 
     out_size: int
     bias: bool = True
     activation: Callable[[Array], Array] = jax.nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -27,6 +30,7 @@ class Perceptron(nn.Module):
         y = nn.Dense(
             self.out_size,
             use_bias=self.bias,
+            dtype=self.dtype,
             kernel_init=lambda k, s, d=jnp.float32: init(k, s, d) - bound,
             bias_init=lambda k, s, d=jnp.float32: init(k, s, d) - bound,
         )(x)
@@ -39,9 +43,13 @@ class MLP(nn.Module):
     layer_sizes: Sequence[int]
     bias: bool = True
     activation: Callable[[Array], Array] = jax.nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for size in self.layer_sizes:
-            x = Perceptron(size, bias=self.bias, activation=self.activation)(x)
+            x = Perceptron(
+                size, bias=self.bias, activation=self.activation,
+                dtype=self.dtype,
+            )(x)
         return x
