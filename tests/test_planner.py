@@ -38,11 +38,9 @@ def test_enumerator_rw_shard_geometry():
     opts = enum.enumerate([EmbeddingBagConfig(
         num_embeddings=10, embedding_dim=16, name="t", feature_names=["f"])],
         None)
-    # one option per kernel (FUSED + the UVM-caching fallback)
-    assert len(opts) == 2
-    assert {o.compute_kernel for o in opts} == {
-        ComputeKernel.FUSED, ComputeKernel.FUSED_UVM_CACHING
-    }
+    # small table: FUSED only (UVM fallback reserved for HBM-overflow)
+    assert len(opts) == 1
+    assert opts[0].compute_kernel is ComputeKernel.FUSED
     sizes = [s.size for s in opts[0].shards]
     offsets = [s.offset for s in opts[0].shards]
     # padded-even blocks of ceil(10/4)=3: [3,3,3,1]
@@ -57,7 +55,7 @@ def test_enumerator_cw_feasibility():
     ok = enum.enumerate([EmbeddingBagConfig(
         num_embeddings=10, embedding_dim=128, name="a", feature_names=["f"])],
         None)
-    assert len(ok) == 2  # FUSED + UVM-caching fallback
+    assert len(ok) == 1
     assert [s.size for s in ok[0].shards] == [(10, 32)] * 4
     # dim 64 / 4 = 16 < 32 -> infeasible
     bad = enum.enumerate([EmbeddingBagConfig(

@@ -107,11 +107,22 @@ class EmbeddingEnumerator(Enumerator):
                 c.min_partition if c and c.min_partition
                 else constants.MIN_CW_DIM
             )
+            # the UVM fallback kernel is only an option for tables whose
+            # full FUSED footprint cannot fit one device's HBM — small
+            # tables must never trade away HBM speed (and proposer load-
+            # shuffling must not be able to pick UVM spuriously)
+            tensor_bytes = table.num_embeddings * table.embedding_dim * 4
+            needs_uvm = tensor_bytes > 0.8 * self._topology.hbm_cap
             for st in stypes:
                 shards = self._shards_for(table, st, min_partition)
                 if shards is None:
                     continue
                 for kernel in kernels:
+                    if (
+                        kernel is ComputeKernel.FUSED_UVM_CACHING
+                        and not needs_uvm
+                    ):
+                        continue
                     out.append(
                         ShardingOption(
                             name=table.name,
