@@ -44,6 +44,10 @@ def parse_args(argv) -> argparse.Namespace:
     p.add_argument("--undersampled_rate", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tpu_gen", type=str, default="v5e")
+    p.add_argument("--dense_dtype", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="compute dtype of the dense arches (bf16 = the "
+                        "TPU analogue of the reference's TF32)")
     p.add_argument("--shuffle_batches", action="store_true")
     p.add_argument("--validation_freq_within_epoch", type=int, default=None)
     p.add_argument("--save_dir", type=str, default=None,
@@ -107,6 +111,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             dense_in_features=INT_FEATURE_COUNT,
             dense_arch_layer_sizes=dense_sizes,
             over_arch_layer_sizes=over_sizes,
+            dense_dtype=jnp.bfloat16 if args.dense_dtype == "bf16" else None,
         )
     )
 

@@ -111,3 +111,47 @@ def test_low_precision_matches_fp32_loosely(env, dt, stype):
         np.testing.assert_allclose(
             got[dt][name], got[DataType.FP32][name], rtol=3e-2, atol=3e-2
         )
+
+
+def test_stochastic_rounding_preserves_tiny_updates():
+    """SGD with updates far below bf16 ulp: stochastic rounding moves the
+    weight in expectation; deterministic rounding loses it entirely
+    (ref: fbgemm stochastic_rounding fused_param, the mechanism that
+    makes half-precision embedding training converge)."""
+    from torchrec_tpu.ops.fused_update import (
+        EmbOptimType,
+        apply_fused_update,
+        init_fused_optimizer_state,
+    )
+
+    R2, D2, steps = 8, 8, 300
+    lr, gval = 0.01, 0.01  # per-step delta 1e-4 << bf16 ulp at 1.0 (~0.0078)
+    ids = jnp.arange(R2, dtype=jnp.int32)
+    grads = jnp.full((R2, D2), gval, jnp.float32)
+    valid = jnp.ones((R2,), bool)
+
+    def run(sr):
+        w = jnp.ones((R2, D2), jnp.bfloat16)
+        opt = init_fused_optimizer_state(R2, D2, EmbOptimType.SGD)
+        for _ in range(steps):
+            w, opt = apply_fused_update(
+                w, opt, ids, grads, valid, lr, stochastic_rounding=sr
+            )
+        return np.asarray(w, dtype=np.float32)
+
+    drift_det = 1.0 - run(False).mean()
+    drift_sr = 1.0 - run(True).mean()
+    expected = steps * lr * gval  # 0.03
+    assert abs(drift_det) < 1e-6  # deterministic add loses every update
+    assert 0.5 * expected < drift_sr < 1.5 * expected
+
+
+def test_stochastic_round_primitive_unbiased():
+    from torchrec_tpu.ops.fused_update import stochastic_round
+
+    x = jnp.full((200, 128), 1.0 + 1e-3, jnp.float32)  # between bf16 grid pts
+    out = stochastic_round(x, jnp.bfloat16, jax.random.PRNGKey(0))
+    m = np.asarray(out, np.float32).mean()
+    assert abs(m - (1.0 + 1e-3)) < 5e-4  # unbiased within sampling noise
+    vals = np.unique(np.asarray(out, np.float32))
+    assert len(vals) == 2  # rounds to the two neighbours only

@@ -161,6 +161,30 @@ def dedup_row_grads(
 _RUN_TOTAL_CHUNK = 512
 
 
+def stochastic_round(x32: Array, target_dtype, key: Array) -> Array:
+    """Stochastic rounding f32 -> bf16/f16 (fbgemm rounds half-precision
+    weight writes stochastically so sub-ulp updates survive in
+    expectation; ref: TBE stochastic_rounding fused_param).
+
+    Adds uniform random bits below the target mantissa cut in the f32
+    bit pattern, then truncates — exactly SR for both targets.
+    """
+    if target_dtype == jnp.bfloat16:
+        drop = 16  # f32 keeps 7 mantissa bits -> drop low 16
+    elif target_dtype == jnp.float16:
+        # f16 has 10 mantissa bits vs f32's 23 -> drop low 13 (subnormal
+        # boundary handled by the final convert)
+        drop = 13
+    else:
+        return x32.astype(target_dtype)
+    u = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    r = jax.random.bits(key, x32.shape, jnp.uint32) & ((1 << drop) - 1)
+    u = u + r
+    mask = jnp.uint32(0xFFFFFFFF) << drop
+    rounded = jax.lax.bitcast_convert_type(u & mask, jnp.float32)
+    return rounded.astype(target_dtype)
+
+
 def _run_totals(g_sorted: Array, run_start: Array) -> Array:
     """Segment totals at each run's first position.
 
@@ -208,6 +232,7 @@ def apply_fused_update(
     beta2: float = 0.999,
     eta: float = 0.001,
     momentum: float = 0.9,
+    stochastic_rounding: bool = True,
 ) -> Tuple[Array, FusedOptimizerState]:
     """Apply one fused sparse optimizer step to touched rows only.
 
@@ -286,10 +311,32 @@ def apply_fused_update(
     lr = jnp.asarray(learning_rate, dtype=cdt)
     optim = opt_state.optim
 
-    if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
-        new_w = weights.at[uids].add(
-            (-lr * g).astype(weights.dtype), mode="drop", **hints
+    # half-precision tables: write whole rows with stochastic rounding so
+    # sub-ulp updates survive in expectation (fbgemm stochastic_rounding)
+    sr_active = stochastic_rounding and weights.dtype in (
+        jnp.bfloat16, jnp.float16
+    )
+
+    def _sr_set(upd_all):
+        """SET every run position to SR(w_old + run_update)."""
+        w_rows32 = weights.at[uids].get(
+            mode="fill", fill_value=0.0, **hints
+        ).astype(cdt)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0x5EED), opt_state.step
         )
+        w_q = stochastic_round(w_rows32 + upd_all, weights.dtype, key)
+        return weights.at[uids].set(w_q, mode="drop", **hints)
+
+    if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
+        if sr_active:
+            # run totals propagated to every position (dups included)
+            total_all = g.at[run_start].get(**hints)
+            new_w = _sr_set(-lr * total_all)
+        else:
+            new_w = weights.at[uids].add(
+                (-lr * g).astype(weights.dtype), mode="drop", **hints
+            )
         return new_w, opt_state.replace(step=opt_state.step + 1)
 
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
@@ -297,10 +344,16 @@ def apply_fused_update(
         g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
         new_m = m.at[uids].add(g_sq, mode="drop", **hints)
         m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0, **hints)
-        upd = -lr * g / (jnp.sqrt(m_rows)[:, None] + eps)
-        new_w = weights.at[uids].add(
-            upd.astype(weights.dtype), mode="drop", **hints
-        )
+        if sr_active:
+            total_all = g.at[run_start].get(**hints)
+            new_w = _sr_set(
+                -lr * total_all / (jnp.sqrt(m_rows)[:, None] + eps)
+            )
+        else:
+            upd = -lr * g / (jnp.sqrt(m_rows)[:, None] + eps)
+            new_w = weights.at[uids].add(
+                upd.astype(weights.dtype), mode="drop", **hints
+            )
         return new_w, opt_state.replace(
             momentum1=new_m, step=opt_state.step + 1
         )
