@@ -196,3 +196,51 @@ def test_rowwise_adagrad_large_aligned_batch():
     np.testing.assert_allclose(
         np.asarray(new_opt.momentum1), m_ref, rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.parametrize(
+    "optim",
+    [EmbOptimType.LAMB, EmbOptimType.PARTIAL_ROWWISE_ADAM,
+     EmbOptimType.LARS_SGD, EmbOptimType.PARTIAL_ROWWISE_LAMB],
+    ids=lambda o: o.value,
+)
+def test_new_optimizers_through_sharded_ebc(optim):
+    """The extended optimizers run through the RW-sharded module and match
+    a direct unsharded apply_fused_update."""
+    import jax
+
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        ParameterSharding,
+        ShardedEmbeddingBagCollection,
+        ShardingEnv,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.RandomState(0)
+    R2, D2, B2 = 64, 16, 16
+    dense = {"t0": rng.randn(R2, D2).astype(np.float32)}
+    tables = (EmbeddingBagConfig(num_embeddings=R2, embedding_dim=D2,
+                                 name="t0", feature_names=["f0"]),)
+    env = ShardingEnv.from_devices()
+    ebc = ShardedEmbeddingBagCollection(
+        env, tables, {"t0": ParameterSharding(ShardingType.ROW_WISE)},
+        optim=optim,
+    )
+    states = ebc.shard_from_dense(dense)
+    ids = rng.randint(0, R2, size=(B2,)).astype(np.int32)
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0"], jnp.asarray(ids), jnp.asarray(np.ones(B2, np.int32))
+    ).to_padded(1)
+    d_vals = rng.randn(B2, D2).astype(np.float32)
+    new_states = jax.jit(ebc.update)(states, sb, jnp.asarray(d_vals), LR)
+    got = ebc.unshard_to_dense(new_states)["t0"]
+
+    # unsharded reference: rows padded like RW (8 devices -> block 8)
+    opt = init_fused_optimizer_state(R2, D2, optim)
+    ref_w, _ = apply_fused_update(
+        jnp.asarray(dense["t0"]), opt, jnp.asarray(ids),
+        jnp.asarray(d_vals), jnp.ones((B2,), bool), LR,
+    )
+    np.testing.assert_allclose(got, np.asarray(ref_w), rtol=1e-4, atol=1e-5)

@@ -69,26 +69,37 @@ class FusedOptimizerState:
     optim: EmbOptimType = struct.field(pytree_node=False)
 
 
-def init_fused_optimizer_state(
-    num_rows: int, dim: int, optim: EmbOptimType, dtype=jnp.float32
-) -> FusedOptimizerState:
-    m1 = None
-    m2 = None
+def fused_state_shapes(optim: EmbOptimType) -> Tuple[str, str]:
+    """(momentum1, momentum2) shape kinds: 'none' | 'row' [R] | 'full'
+    [R, D] — single source of truth for every state-allocation site."""
+    if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
+        return "none", "none"
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
-        m1 = jnp.zeros((num_rows,), dtype=dtype)
-    elif optim is EmbOptimType.ADAGRAD:
-        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
-    elif optim in (EmbOptimType.ADAM, EmbOptimType.LAMB):
-        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
-        m2 = jnp.zeros((num_rows, dim), dtype=dtype)
-    elif optim in (
+        return "row", "none"
+    if optim in (EmbOptimType.ADAGRAD, EmbOptimType.LARS_SGD):
+        return "full", "none"
+    if optim in (EmbOptimType.ADAM, EmbOptimType.LAMB):
+        return "full", "full"
+    if optim in (
         EmbOptimType.PARTIAL_ROWWISE_ADAM,
         EmbOptimType.PARTIAL_ROWWISE_LAMB,
     ):
-        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
-        m2 = jnp.zeros((num_rows,), dtype=dtype)
-    elif optim is EmbOptimType.LARS_SGD:
-        m1 = jnp.zeros((num_rows, dim), dtype=dtype)
+        return "full", "row"
+    raise ValueError(f"unknown fused optimizer: {optim}")
+
+
+def init_fused_optimizer_state(
+    num_rows: int, dim: int, optim: EmbOptimType, dtype=jnp.float32
+) -> FusedOptimizerState:
+    def make(kind):
+        if kind == "row":
+            return jnp.zeros((num_rows,), dtype=dtype)
+        if kind == "full":
+            return jnp.zeros((num_rows, dim), dtype=dtype)
+        return None
+
+    k1, k2 = fused_state_shapes(optim)
+    m1, m2 = make(k1), make(k2)
     return FusedOptimizerState(
         momentum1=m1, momentum2=m2, step=jnp.zeros((), jnp.int32), optim=optim
     )

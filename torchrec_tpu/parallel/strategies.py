@@ -130,24 +130,25 @@ class BaseEmbeddingShardingStrategy:
         return self.shard_from_dense(dense)
 
     def init_opt(self) -> FusedOptimizerState:
+        from torchrec_tpu.ops.fused_update import fused_state_shapes
+
         wshape = self.weights_shape()
         rep = self._sharding(P())
         shd = self._sharding(self.weights_pspec())
         is_dp = len(wshape) == 2
-        row_shape = wshape[:-1]
-        m1 = m2 = None
-        if self.optim is EmbOptimType.ROWWISE_ADAGRAD:
-            m1 = jax.device_put(
-                jnp.zeros(row_shape), rep if is_dp else shd
-            )
-        elif self.optim is EmbOptimType.ADAGRAD:
-            m1 = jax.device_put(jnp.zeros(wshape), rep if is_dp else shd)
-        elif self.optim is EmbOptimType.ADAM:
-            m1 = jax.device_put(jnp.zeros(wshape), rep if is_dp else shd)
-            m2 = jax.device_put(jnp.zeros(wshape), rep if is_dp else shd)
+        put = rep if is_dp else shd
+
+        def make(kind):
+            if kind == "row":
+                return jax.device_put(jnp.zeros(wshape[:-1]), put)
+            if kind == "full":
+                return jax.device_put(jnp.zeros(wshape), put)
+            return None
+
+        k1, k2 = fused_state_shapes(self.optim)
         return FusedOptimizerState(
-            momentum1=m1,
-            momentum2=m2,
+            momentum1=make(k1),
+            momentum2=make(k2),
             step=jnp.zeros((), jnp.int32),
             optim=self.optim,
         )
@@ -182,10 +183,13 @@ class BaseEmbeddingShardingStrategy:
 
     def _opt_specs(self, sharded: bool) -> FusedOptimizerState:
         """Spec pytree matching FusedOptimizerState structure."""
+        from torchrec_tpu.ops.fused_update import fused_state_shapes
+
         spec = P(AXIS) if sharded else P()
+        k1, k2 = fused_state_shapes(self.optim)
         return FusedOptimizerState(
-            momentum1=None if self.optim is EmbOptimType.SGD else spec,
-            momentum2=spec if self.optim is EmbOptimType.ADAM else None,
+            momentum1=None if k1 == "none" else spec,
+            momentum2=None if k2 == "none" else spec,
             step=P(),
             optim=self.optim,
         )

@@ -217,20 +217,24 @@ class ShardedEmbeddingTowerCollection:
         )
 
     def _init_opt(self) -> FusedOptimizerState:
+        from torchrec_tpu.ops.fused_update import fused_state_shapes
+
         shd = self._sharding(P(AXIS))
-        m1 = m2 = None
-        if self.optim is EmbOptimType.ROWWISE_ADAGRAD:
-            m1 = jax.device_put(jnp.zeros((self.n, self.rows_max)), shd)
-        elif self.optim in (EmbOptimType.ADAGRAD, EmbOptimType.ADAM):
-            m1 = jax.device_put(
-                jnp.zeros((self.n, self.rows_max, self.dim)), shd
-            )
-            if self.optim is EmbOptimType.ADAM:
-                m2 = jax.device_put(
+
+        def make(kind):
+            if kind == "row":
+                return jax.device_put(
+                    jnp.zeros((self.n, self.rows_max)), shd
+                )
+            if kind == "full":
+                return jax.device_put(
                     jnp.zeros((self.n, self.rows_max, self.dim)), shd
                 )
+            return None
+
+        k1, k2 = fused_state_shapes(self.optim)
         return FusedOptimizerState(
-            momentum1=m1, momentum2=m2,
+            momentum1=make(k1), momentum2=make(k2),
             step=jnp.zeros((), jnp.int32), optim=self.optim,
         )
 
