@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
-from torchrec_tpu.modules.embedding_configs import DataType
+from torchrec_tpu.modules.embedding_configs import DataType, PoolingType
 from torchrec_tpu.ops.quant import (
     dequantize_rows,
     quant_embedding_bag_lookup,
@@ -138,4 +138,61 @@ def test_quantize_embeddings_predict_module(tmp_path):
     loss_q2, (_, logits_q2, _) = pm2.predict(dense, sb, labels)
     np.testing.assert_allclose(
         np.asarray(logits_q2), np.asarray(logits_q), rtol=1e-6
+    )
+
+
+def test_sharded_quant_ebc_matches_unsharded():
+    """TW-sharded int8 inference over the mesh is bit-identical to the
+    single-device quantized module (ref:
+    distributed/tests/test_quant_model_parallel.py)."""
+    import jax
+
+    from torchrec_tpu.parallel import ShardingEnv
+    from torchrec_tpu.parallel.quant_sharded import (
+        ShardedQuantEmbeddingBagCollection,
+    )
+    from torchrec_tpu.quant.embedding_modules import QuantEmbeddingBagCollection
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.RandomState(0)
+    B, L = 16, 2
+    tables = (
+        EmbeddingBagConfig(num_embeddings=50, embedding_dim=16, name="q0",
+                           feature_names=["f0"]),
+        EmbeddingBagConfig(num_embeddings=30, embedding_dim=16, name="q1",
+                           feature_names=["f1", "f2"]),
+        EmbeddingBagConfig(num_embeddings=40, embedding_dim=16, name="q2",
+                           feature_names=["f3"], pooling=PoolingType.MEAN),
+    )
+    weights = {
+        t.name: rng.randn(t.num_embeddings, t.embedding_dim).astype(np.float32)
+        for t in tables
+    }
+    feats = [f for t in tables for f in t.feature_names]
+    rows = {f: t.num_embeddings for t in tables for f in t.feature_names}
+    lengths = rng.randint(0, L + 1, size=(len(feats) * B,)).astype(np.int32)
+    vals = []
+    for fi, f in enumerate(feats):
+        for b in range(B):
+            vals.extend(
+                rng.randint(0, rows[f], size=(lengths[fi * B + b],)).tolist()
+            )
+    kjt = KeyedJaggedTensor.from_lengths(
+        feats, jnp.asarray(np.asarray(vals, np.int32)), jnp.asarray(lengths)
+    )
+    sb = kjt.to_padded(L)
+
+    env = ShardingEnv.from_devices()
+    sharded = ShardedQuantEmbeddingBagCollection.from_float(
+        env, tables, weights, max_feature_length=L,
+        table_ranks={"q0": 0, "q1": 3, "q2": 3},
+    )
+    unsharded = QuantEmbeddingBagCollection.from_float(
+        tables, weights, max_feature_length=L
+    )
+    got = sharded(sb)
+    want = unsharded(sb)
+    assert got.keys == want.keys
+    np.testing.assert_array_equal(
+        np.asarray(got.values), np.asarray(want.values)
     )
