@@ -10,8 +10,18 @@ from torchrec_tpu.parallel.sharded_ebc import (  # noqa: F401
 )
 from torchrec_tpu.parallel.dmp import DistributedModelParallel  # noqa: F401
 from torchrec_tpu.parallel.tower_sharding import (  # noqa: F401
+    ShardedEmbeddingTower,
     ShardedEmbeddingTowerCollection,
     TowerSpec,
+)
+from torchrec_tpu.parallel.quant_sharded import (  # noqa: F401
+    ShardedQuantEmbeddingBagCollection,
+)
+from torchrec_tpu.parallel.sharded_bag import (  # noqa: F401
+    ShardedEmbeddingBag,
+)
+from torchrec_tpu.parallel.sharded_ec import (  # noqa: F401
+    ShardedEmbeddingCollection,
 )
 from torchrec_tpu.parallel.variable_batch import (  # noqa: F401
     VariableBatch,

@@ -475,3 +475,22 @@ class ShardedEmbeddingTowerCollection:
             emb=EmbeddingGroupState(weights=new_w, opt=new_opt),
             interaction_params=new_params,
         )
+
+
+class ShardedEmbeddingTower(ShardedEmbeddingTowerCollection):
+    """Single sharded tower (ref: ShardedEmbeddingTower,
+    embedding_tower_sharding.py:100) — the one-tower special case of the
+    collection; forward returns the tower's [B, d_out] directly."""
+
+    def __init__(
+        self,
+        env: ShardingEnv,
+        tower: TowerSpec,
+        optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
+        optim_kwargs: Optional[dict] = None,
+        interaction_lr: Optional[float] = None,
+    ):
+        super().__init__(
+            env, [tower], optim=optim, optim_kwargs=optim_kwargs,
+            interaction_lr=interaction_lr,
+        )
