@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -157,16 +158,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
             num_dense=INT_FEATURE_COUNT,
             num_batches=args.num_batches,
             manual_seed=args.seed + (0 if stage == "train" else 1),
+            on_device=True,  # synthetic data straight into device memory
         )
 
     def batch_args(batch):
         return (batch.dense_features, batch.sparse_features, batch.labels)
-
-    raw_step = dmp.make_train_step()
-
-    def train_step(state, batch):
-        state, loss, aux = raw_step(state, *batch_args(batch))
-        return state, loss, aux
 
     eval_fwd = jax.jit(
         lambda state, batch: dmp.forward(state, *batch_args(batch))
@@ -175,22 +171,56 @@ def main(argv: Optional[List[str]] = None) -> dict:
     first = next(iter(make_loader("train")))
     state = dmp.init(jax.random.PRNGKey(args.seed), *batch_args(first))
 
+    if args.synthetic:
+        # batch generation fused INTO the train step: one executable per
+        # iteration (executable switches are expensive on remote TPUs)
+        gen_fn = make_loader("train").device_batch_fn()
+        raw = dmp.make_train_step(jit=False)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def fused_step(state, key):
+            # derive the batch from the CARRIED step counter: every
+            # argument is device-resident, zero per-iteration transfers
+            batch = gen_fn(jax.random.fold_in(key, state.step))
+            return raw(state, *batch_args(batch))
+
+    else:
+        jit_step = dmp.make_train_step()
+
+        def train_step(state, batch):
+            return jit_step(state, *batch_args(batch))
+
+    # compile warmup outside the throughput window (first call compiles)
+    if args.synthetic:
+        _k0 = jax.device_put(jax.random.PRNGKey(args.seed - 1))
+        state, _l, _ = fused_step(state, _k0)
+        float(_l)
+
     results = {}
     for epoch in range(args.epochs):
-        pipe = TrainPipeline(train_step, state)
-        it = iter(make_loader("train"))
         n, t0 = 0, time.perf_counter()
         losses = []
-        while True:
-            try:
-                loss, _ = pipe.progress(it)
-            except StopIteration:
-                break
-            n += 1
-            if n % 50 == 0:
-                losses.append(float(loss))
-        state = pipe.state
-        jax.block_until_ready(state.step)
+        if args.synthetic:
+            key = jax.device_put(jax.random.PRNGKey(args.seed + 17 * epoch))
+            for i in range(args.num_batches):
+                state, loss, _ = fused_step(state, key)
+                n += 1
+                if n % 50 == 0:
+                    losses.append(float(loss))
+            float(loss)  # hard sync before timing
+        else:
+            pipe = TrainPipeline(train_step, state)
+            it = iter(make_loader("train"))
+            while True:
+                try:
+                    loss, _ = pipe.progress(it)
+                except StopIteration:
+                    break
+                n += 1
+                if n % 50 == 0:
+                    losses.append(float(loss))
+            state = pipe.state
+            float(loss)
         dt = time.perf_counter() - t0
         throughput = n * args.batch_size / dt
         print(

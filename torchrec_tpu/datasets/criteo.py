@@ -419,16 +419,17 @@ class InMemoryBinaryCriteoIterDataPipe:
         self.num_batches = self.num_rows // batch_size
 
     def _make_batch(self, lo: int) -> Batch:
+        # numpy leaves: one pytree device_put downstream (single dispatch)
         B = self.batch_size
-        dense = jnp.asarray(self.dense[lo : lo + B], jnp.float32)
-        ids = jnp.asarray(
-            self.sparse[lo : lo + B].T[:, :, None], jnp.int32
+        dense = np.asarray(self.dense[lo : lo + B], np.float32)
+        ids = np.ascontiguousarray(
+            self.sparse[lo : lo + B].T[:, :, None], np.int32
         )  # [F, B, 1]
-        lengths = jnp.ones((CAT_FEATURE_COUNT, B), jnp.int32)
+        lengths = np.ones((CAT_FEATURE_COUNT, B), np.int32)
         sb = PaddedSparseBatch(
             ids=ids, lengths=lengths, keys=tuple(DEFAULT_CAT_NAMES)
         )
-        labels = jnp.asarray(self.labels[lo : lo + B, 0], jnp.float32)
+        labels = np.asarray(self.labels[lo : lo + B, 0], np.float32)
         return Batch(dense_features=dense, sparse_features=sb, labels=labels)
 
     def __iter__(self) -> Iterator[Batch]:

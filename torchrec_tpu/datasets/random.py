@@ -30,7 +30,13 @@ class RandomRecDataset:
         manual_seed: Optional[int] = None,
         num_batches: Optional[int] = None,
         min_ids_per_feature: Optional[int] = None,
+        on_device: bool = False,
     ):
+        """on_device=True generates each batch with a jitted PRNG program
+        directly in device memory — no host->device transfer at all. Use
+        for synthetic throughput runs on remote-attached TPUs where
+        upload latency would otherwise dominate (a real PCIe-attached
+        host does not have this constraint)."""
         if hash_sizes is None:
             hash_sizes = [hash_size or 100] * len(keys)
         assert len(hash_sizes) == len(keys)
@@ -45,6 +51,8 @@ class RandomRecDataset:
         self.num_dense = num_dense
         self.num_batches = num_batches
         self._seed = manual_seed if manual_seed is not None else 0
+        self.on_device = on_device
+        self._gen = None
 
     def _batch(self, rng: np.random.RandomState) -> Batch:
         F, B, L = len(self.keys), self.batch_size, self.L
@@ -57,20 +65,52 @@ class RandomRecDataset:
         ).astype(np.int32)
         dense = rng.randn(B, self.num_dense).astype(np.float32)
         labels = rng.randint(0, 2, size=(B,)).astype(np.float32)
-        sb = PaddedSparseBatch(
-            ids=jnp.asarray(ids),
-            lengths=jnp.asarray(lengths),
-            keys=self.keys,
-        )
+        # keep numpy leaves: the train pipeline device_puts the WHOLE batch
+        # pytree in one async call instead of one transfer per array (each
+        # transfer costs a full dispatch roundtrip on remote-attached TPUs)
+        sb = PaddedSparseBatch(ids=ids, lengths=lengths, keys=self.keys)
         return Batch(
-            dense_features=jnp.asarray(dense),
-            sparse_features=sb,
-            labels=jnp.asarray(labels),
+            dense_features=dense, sparse_features=sb, labels=labels
         )
 
+    def device_batch_fn(self):
+        """UNJITTED key -> Batch generator body, for fusing into a larger
+        jitted program (generation + train step as one executable)."""
+        import jax
+
+        F, B, L = len(self.keys), self.batch_size, self.L
+        hashes = jnp.asarray(self.hash_sizes)
+
+        def gen(key):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            lengths = jax.random.randint(
+                k1, (F, B), self.min_L, L + 1, dtype=jnp.int32
+            )
+            ids = jax.random.randint(
+                k2, (F, B, L), 0, hashes[:, None, None], dtype=jnp.int32
+            )
+            dense = jax.random.normal(k3, (B, self.num_dense), jnp.float32)
+            labels = jax.random.bernoulli(k4, 0.5, (B,)).astype(jnp.float32)
+            sb = PaddedSparseBatch(ids=ids, lengths=lengths, keys=self.keys)
+            return Batch(
+                dense_features=dense, sparse_features=sb, labels=labels
+            )
+
+        return gen
+
     def __iter__(self) -> Iterator[Batch]:
-        rng = np.random.RandomState(self._seed)
         n = 0
+        if self.on_device:
+            import jax
+
+            if self._gen is None:
+                self._gen = jax.jit(self.device_batch_fn())
+            key = jax.random.PRNGKey(self._seed)
+            while self.num_batches is None or n < self.num_batches:
+                yield self._gen(jax.random.fold_in(key, n))
+                n += 1
+            return
+        rng = np.random.RandomState(self._seed)
         while self.num_batches is None or n < self.num_batches:
             yield self._batch(rng)
             n += 1

@@ -358,11 +358,16 @@ class DistributedModelParallel:
         self,
         loss_fn: Optional[Callable] = None,
         donate: bool = True,
+        jit: bool = True,
     ):
         """Build a jittable train step.
 
         The wrapped module must return (loss, aux) (DLRMTrain-style) unless
-        `loss_fn(model_output) -> (loss, aux)` is given.
+        `loss_fn(model_output) -> (loss, aux)` is given. `jit=False`
+        returns the raw traceable function so callers can fuse it into a
+        larger jitted program (e.g. on-device batch generation + step in
+        ONE executable — switching executables per iteration is expensive
+        on remote-attached TPUs).
         """
 
         def train_step(state: DMPState, *args):
@@ -408,6 +413,8 @@ class DistributedModelParallel:
             )
             return new_state, loss, aux
 
+        if not jit:
+            return train_step
         if donate:
             return jax.jit(train_step, donate_argnums=(0,))
         return jax.jit(train_step)

@@ -20,48 +20,56 @@ examples/dlrm/dlrm_main.py:58).
 from __future__ import annotations
 
 import collections
+import concurrent.futures
 from typing import Any, Callable, Iterator, Optional
 
 import jax
 
 
 class TrainPipeline:
-    """Iterator-driven train loop with K-deep device prefetch.
+    """Iterator-driven train loop with K-deep threaded device prefetch.
 
     train_step: (state, batch) -> (state, loss, aux) — a jitted function.
     state is held internally; `progress(it)` runs one step and returns
     (loss, aux), raising StopIteration when the iterator is exhausted
     (mirroring the reference's progress() contract,
     ref train_pipeline.py:499-552).
+
+    Host batch prep + host->device transfer run on a thread pool so
+    uploads overlap device compute AND each other (the reference's
+    memcpy-stream overlap; on remote-attached TPUs transfer latency is
+    the dominant cost and threading pipelines it away).
     """
 
     def __init__(
         self,
         train_step: Callable,
         state: Any,
-        prefetch_depth: int = 2,
+        prefetch_depth: int = 3,
         device_put: Optional[Callable] = None,
     ):
         self._train_step = train_step
         self.state = state
         self._depth = max(1, prefetch_depth)
-        self._queue: collections.deque = collections.deque()
+        self._queue: collections.deque = collections.deque()  # of futures
         self._device_put = device_put or jax.device_put
+        self._pool = concurrent.futures.ThreadPoolExecutor(self._depth)
 
     def _fill(self, it: Iterator) -> None:
+        # next(it) stays on the caller's thread (iterator order/safety);
+        # only the upload is offloaded
         while len(self._queue) < self._depth:
             try:
                 batch = next(it)
             except StopIteration:
                 return
-            # async host->device transfer; replaces the memcpy stream
-            self._queue.append(self._device_put(batch))
+            self._queue.append(self._pool.submit(self._device_put, batch))
 
     def progress(self, it: Iterator):
         self._fill(it)
         if not self._queue:
             raise StopIteration
-        batch = self._queue.popleft()
+        batch = self._queue.popleft().result()
         self._fill(it)
         self.state, loss, aux = self._train_step(self.state, batch)
         return loss, aux
