@@ -91,17 +91,37 @@ def main():
     labels = jnp.asarray((rng.rand(B) > 0.5).astype(np.float32))
 
     state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
-    train_step = dmp.make_train_step()
 
+    # FRESH random batch each step, generated on device and fused into the
+    # same executable as the train step (no host transfers, no executable
+    # switches — both cost a full relay roundtrip on remote-attached TPUs)
+    from functools import partial
+
+    from torchrec_tpu.datasets.random import RandomRecDataset
+
+    gen_fn = RandomRecDataset(
+        keys=feats, batch_size=B, hash_sizes=[ROWS] * NUM_TABLES,
+        ids_per_feature=L, num_dense=DENSE_IN, on_device=True,
+    ).device_batch_fn()
+    raw_step = dmp.make_train_step(jit=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fused_step(state, key):
+        b = gen_fn(jax.random.fold_in(key, state.step))
+        return raw_step(
+            state, b.dense_features, b.sparse_features, b.labels
+        )
+
+    key = jax.device_put(jax.random.PRNGKey(7))
     # warmup / compile (3 steps: cover any residual signature changes)
     for _ in range(3):
-        state, loss, _ = train_step(state, dense, sb, labels)
+        state, loss, _ = fused_step(state, key)
     float(loss)  # hard host sync (block_until_ready is unreliable on the
     # tunneled axon platform; a host fetch is a real barrier)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, loss, _ = train_step(state, dense, sb, labels)
+        state, loss, _ = fused_step(state, key)
     float(loss)
     dt = time.perf_counter() - t0
 
