@@ -168,17 +168,51 @@ def main(argv: Optional[List[str]] = None) -> dict:
     )
     sb, labels = make_train_batch()
     state = dmp.init(jax.random.PRNGKey(args.seed), sb, labels)
-    step = dmp.make_train_step(donate=False)
     eval_fwd = jax.jit(lambda st, sb, lab: dmp.forward(st, sb, lab))
+
+    # Device-resident masked-LM batch generation fused into ONE executable
+    # with the train step (host batch prep costs a relay roundtrip per
+    # batch on remote-attached TPUs). The padded train-sequence pool is
+    # uploaded once; sampling + masking run under the same jit.
+    from functools import partial
+
+    from torchrec_tpu.sparse import PaddedSparseBatch
+
+    pool = jax.device_put(jnp.asarray(np.stack(
+        [pad_seq(s[:-1]) for s in seqs]
+    ).astype(np.int32)))  # [n_seq, L]
+    n_seq = pool.shape[0]
+    raw_step = dmp.make_train_step(jit=False)
+
+    @jax.jit
+    def fused_step(state, key):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, state.step))
+        s = pool[jax.random.randint(k1, (B,), 0, n_seq)]  # [B, L]
+        m = (jax.random.uniform(k2, (B, L)) < args.mask_prob) & (s > 0)
+        # guarantee >= 1 masked position per row (mask the last valid)
+        lastv = L - 1 - jnp.argmax((s > 0)[:, ::-1], axis=1)
+        force = (~m.any(axis=1))[:, None] & (s > 0)
+        m = m | (jax.nn.one_hot(lastv, L, dtype=bool) & force)
+        lab = jnp.where(m, s, 0)
+        ids = jnp.where(m, MASK, s)
+        sb2 = PaddedSparseBatch(
+            ids=ids[None], lengths=jnp.full((1, B), L, jnp.int32),
+            keys=("item",),
+        )
+        return raw_step(state, sb2, lab)
+
+    key0 = jax.device_put(jax.random.PRNGKey(args.seed + 99))
+    state, _l, _ = fused_step(state, key0)  # compile outside the window
+    float(_l)
 
     results = {}
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         loss = None
+        key = jax.device_put(jax.random.PRNGKey(args.seed + 31 * epoch))
         for i in range(args.num_batches):
-            sb, labels = make_train_batch()
-            state, loss, _ = step(state, sb, labels)
-        jax.block_until_ready(state.step)
+            state, loss, _ = fused_step(state, key)
+        float(loss)
         dt = time.perf_counter() - t0
         print(
             f"epoch {epoch} ({args.mode}): "
