@@ -99,3 +99,82 @@ def test_uvm_cache_overflow_raises():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_uvm_ebc_matches_plain_ebc_training():
+    """UvmEmbeddingBagCollection (host table + HBM cache) trains to the
+    same weights as the plain in-HBM EBC path."""
+    import jax
+
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.modules.embedding_configs import PoolingType
+    from torchrec_tpu.parallel import (
+        ParameterSharding,
+        ShardedEmbeddingBagCollection,
+        ShardingEnv,
+        ShardingType,
+    )
+    from torchrec_tpu.parallel.uvm_ebc import UvmEmbeddingBagCollection
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.RandomState(0)
+    B2, L2 = 16, 2
+    tables = (
+        EmbeddingBagConfig(num_embeddings=300, embedding_dim=16, name="u0",
+                           feature_names=["f0"]),
+        EmbeddingBagConfig(num_embeddings=120, embedding_dim=16, name="u1",
+                           feature_names=["f1"], pooling=PoolingType.MEAN),
+    )
+    weights = {
+        t.name: rng.randn(t.num_embeddings, t.embedding_dim).astype(np.float32)
+        for t in tables
+    }
+
+    def make_batch(seed):
+        r2 = np.random.RandomState(seed)
+        feats = ["f0", "f1"]
+        rows = {"f0": 300, "f1": 120}
+        lengths = r2.randint(0, L2 + 1, size=(2 * B2,)).astype(np.int32)
+        vals = []
+        for fi, f in enumerate(feats):
+            for b in range(B2):
+                vals.extend(r2.randint(0, rows[f],
+                                       size=(lengths[fi * B2 + b],)).tolist())
+        return KeyedJaggedTensor.from_lengths(
+            feats, jnp.asarray(np.asarray(vals, np.int32)),
+            jnp.asarray(lengths),
+        ).to_padded(L2)
+
+    uvm = UvmEmbeddingBagCollection(
+        tables, weights, cache_load_factor=0.3, min_cache_rows=64
+    )
+    env = ShardingEnv.from_devices()
+    ebc = ShardedEmbeddingBagCollection(
+        env, tables,
+        {t.name: ParameterSharding(ShardingType.DATA_PARALLEL)
+         for t in tables},
+    )
+    states = ebc.shard_from_dense(weights)
+
+    for i in range(5):
+        sb = make_batch(i)
+        kt_uvm = uvm.forward(sb)
+        kt_ref = ebc.forward(states, sb)
+        np.testing.assert_allclose(
+            np.asarray(kt_uvm.values), np.asarray(kt_ref.values),
+            rtol=1e-4, atol=1e-5,
+        )
+        d_vals = np.random.RandomState(100 + i).randn(
+            *kt_ref.values.shape
+        ).astype(np.float32)
+        uvm.update(sb, jnp.asarray(d_vals), 0.1)
+        states = ebc.update(states, sb, jnp.asarray(d_vals), 0.1)
+
+    got = uvm.state_dict()
+    want = ebc.unshard_to_dense(states)
+    for name in weights:
+        np.testing.assert_allclose(
+            got[name], want[name], rtol=1e-4, atol=1e-5
+        )
+    stats = uvm.cache_stats()
+    assert stats["u0"]["misses"] > 0  # cache actually exercised

@@ -96,9 +96,10 @@ def group_tables(
         ):
             raise NotImplementedError(
                 f"table {cfg.name}: FUSED_UVM_CACHING is planned for "
-                "host offload — drive it with ops.uvm_cache."
-                "UvmCachedEmbedding (host-managed staging per step); the "
-                "jitted sharded EBC path holds tables in HBM only"
+                "host offload — drive it with parallel.uvm_ebc."
+                "UvmEmbeddingBagCollection (host-managed staging per "
+                "step); the jitted sharded EBC path holds tables in HBM "
+                "only"
             )
         pooling = pooling_type_to_mode(getattr(cfg, "pooling", PoolingType.SUM))
         meta = ShardedTableMeta(
