@@ -8,6 +8,9 @@ insensitive (gather + scatter touch O(batch) rows).
 
 Baseline: the reference's 8x A100-40GB MLPerf run = 5,497,159.68 rec/s
 (BASELINE.md) = 687,145 rec/s per GPU. vs_baseline = ours_per_chip / that.
+Optimizer parity: the reference's fused_params carry only learning_rate
+(dlrm_main.py:524-528) -> fbgemm TBE default EXACT_SGD on embeddings;
+this bench matches. (Exact rowwise-Adagrad embeddings: 522k ex/s.)
 
 Prints ONE JSON line.
 """
@@ -75,7 +78,10 @@ def main():
         model,
         env=env,
         plan=plan,
-        fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+        # the reference's MLPerf run passes only learning_rate in
+        # fused_params (examples/dlrm/dlrm_main.py:524-528), so its TBE
+        # uses fbgemm's default optimizer = EXACT_SGD; match it.
+        fused_optim=EmbOptimType.EXACT_SGD,
         fused_params={"learning_rate": 0.1},
         dense_optimizer=optax.sgd(0.05),
     )
