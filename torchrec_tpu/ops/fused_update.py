@@ -292,12 +292,11 @@ def apply_fused_update(
     ids_s = jnp.where(valid, flat_ids, R)
     pos = jnp.arange(N, dtype=jnp.int32)
     uids, order = jax.lax.sort_key_val(ids_s, pos)  # sorted ids + perm
+    g_sorted = row_grads[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), uids[1:] != uids[:-1]]
     )
     run_start = jax.lax.cummax(jnp.where(first, pos, 0))
-    # run totals at first positions, zeros at dup positions
-    g = _run_totals(row_grads[order], run_start)
     fmask = first & (uids < R)
     cdt = (
         jnp.float32
@@ -307,6 +306,26 @@ def apply_fused_update(
     fm = fmask.astype(cdt)
 
     hints = dict(indices_are_sorted=True)  # duplicates allowed
+
+    # --- SGD fast path: scatter-add is linear, so duplicate tokens need
+    # no combining at all (exact, not approximate) when nothing nonlinear
+    # (weight decay gather, SR row writes) consumes per-row totals
+    sr_now = stochastic_rounding and weights.dtype in (
+        jnp.bfloat16, jnp.float16
+    )
+    if (
+        opt_state.optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD)
+        and not weight_decay
+        and not sr_now
+    ):
+        lr0 = jnp.asarray(learning_rate, dtype=cdt)
+        new_w = weights.at[uids].add(
+            (-lr0 * g_sorted).astype(weights.dtype), mode="drop", **hints
+        )
+        return new_w, opt_state.replace(step=opt_state.step + 1)
+
+    # run totals at first positions, zeros at dup positions
+    g = _run_totals(g_sorted, run_start)
 
     _L2_ON_GRAD = (
         EmbOptimType.SGD,
