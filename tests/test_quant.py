@@ -196,3 +196,83 @@ def test_sharded_quant_ebc_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(got.values), np.asarray(want.values)
     )
+
+
+def test_predict_factory_packager(tmp_path):
+    """ref: inference/model_packager.py:46-99 export contract."""
+    import optax
+
+    from torchrec_tpu.inference import quantize_embeddings
+    from torchrec_tpu.inference.modules import (
+        PredictFactory,
+        PredictFactoryPackager,
+    )
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    tables = (
+        EmbeddingBagConfig(num_embeddings=40, embedding_dim=8, name="t0",
+                           feature_names=["f0"]),
+    )
+    model = DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(
+            tables=tables, max_feature_length=1),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 8),
+        over_arch_layer_sizes=(8, 1)))
+    rng = np.random.RandomState(0)
+    B = 8
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0"], jnp.asarray(rng.randint(0, 40, B), jnp.int32),
+        jnp.asarray(np.ones(B, np.int32))).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, 4).astype(np.float32))
+    labels = jnp.asarray(np.zeros(B, np.float32))
+    dmp = DistributedModelParallel(
+        model, env=ShardingEnv.from_devices(),
+        plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+            "t0": ParameterSharding(ShardingType.ROW_WISE)}}),
+        dense_optimizer=optax.sgd(0.1))
+    state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+
+    class Factory(PredictFactory):
+        def create_predict_module(self):
+            return quantize_embeddings(dmp, state, DataType.INT8)
+
+        def batching_metadata(self):
+            return {"f0": "sparse"}
+
+    out = str(tmp_path / "pkg")
+    PredictFactoryPackager.save_predict_factory(Factory(), out)
+    meta = PredictFactoryPackager.load_metadata(out)
+    assert meta["factory_class"].endswith("Factory")
+    assert meta["batching_metadata"] == {"f0": "sparse"}
+    import os as _os
+    assert _os.path.exists(out + "/arrays.npz")
+
+
+def test_eval_pipeline():
+    """EvalPipeline prefetch contract (ref: TrainPipelineBase eval use)."""
+    from torchrec_tpu.parallel.train_pipeline import EvalPipeline
+
+    seen = []
+
+    def eval_step(state, batch):
+        seen.append(int(np.asarray(batch)))
+        return batch * 2
+
+    pipe = EvalPipeline(eval_step, state=None)
+    it = iter([jnp.asarray(i) for i in range(5)])
+    outs = []
+    while True:
+        try:
+            outs.append(int(np.asarray(pipe.progress(it))))
+        except StopIteration:
+            break
+    assert seen == [0, 1, 2, 3, 4]
+    assert outs == [0, 2, 4, 6, 8]

@@ -176,3 +176,32 @@ def quantize_embeddings(
             ebc.tables, weights, data_type, ebc.is_weighted
         )
     return PredictModule(dmp, state.dense_params, quant_ebcs)
+
+
+class PredictFactoryPackager:
+    """ref: inference/model_packager.py:46-99 — the reference exports a
+    PredictFactory + configs through torch.package for torch.deploy.
+    Here the archive is a directory: the factory's predict module saved
+    as npz + manifest, plus a small factory manifest naming the factory
+    class (the loading code is expected to be importable, exactly as the
+    reference externs its interface modules)."""
+
+    @classmethod
+    def save_predict_factory(
+        cls, factory: PredictFactory, path: str
+    ) -> None:
+        module = factory.create_predict_module()
+        module.save(path)
+        meta = {
+            "factory_class": type(factory).__qualname__,
+            "factory_module": type(factory).__module__,
+            "batching_metadata": factory.batching_metadata(),
+            "result_metadata": factory.result_metadata(),
+        }
+        with open(os.path.join(path, "factory.json"), "w") as f:
+            json.dump(meta, f)
+
+    @staticmethod
+    def load_metadata(path: str) -> Dict[str, Any]:
+        with open(os.path.join(path, "factory.json")) as f:
+            return json.load(f)
