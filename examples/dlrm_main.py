@@ -120,9 +120,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
     topo = Topology(
         world_size=world, tpu_gen=args.tpu_gen, batch_size=args.batch_size
     )
-    plan = EmbeddingShardingPlanner(topo).plan(
+    planner = EmbeddingShardingPlanner(topo)
+    plan = planner.plan(
         tables, module_path="dlrm/embedding_bag_collection"
     )
+    if planner.last_stats:
+        # placement/memory table (ref: planner EmbeddingStats,
+        # planner/stats.py:30-332 prints the same at plan time)
+        print(planner.last_stats)
     dmp = DistributedModelParallel(
         model,
         env=env,

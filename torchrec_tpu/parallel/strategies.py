@@ -196,8 +196,6 @@ class BaseEmbeddingShardingStrategy:
 
     def _opt_local(self, opt: FusedOptimizerState) -> FusedOptimizerState:
         """Strip the leading device axis from local optimizer views."""
-        def fix(x):
-            return None if x is None else (x[0] if x.ndim > self._local_opt_ndim(x) else x)
         return FusedOptimizerState(
             momentum1=None if opt.momentum1 is None else opt.momentum1[0],
             momentum2=None if opt.momentum2 is None else opt.momentum2[0],
@@ -214,10 +212,6 @@ class BaseEmbeddingShardingStrategy:
             step=new.step,
             optim=new.optim,
         )
-
-    @staticmethod
-    def _local_opt_ndim(x):  # pragma: no cover - helper
-        return x.ndim
 
 
 def _token_mask(lengths: Array, L: int) -> Array:
