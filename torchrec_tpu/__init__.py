@@ -26,4 +26,29 @@ from torchrec_tpu.sparse import (  # noqa: F401
     JaggedTensor,
     KeyedJaggedTensor,
     KeyedTensor,
+    PaddedSparseBatch,
 )
+from torchrec_tpu.modules.embedding_configs import (  # noqa: F401
+    DataType,
+    EmbeddingBagConfig,
+    EmbeddingConfig,
+    PoolingType,
+)
+from torchrec_tpu.modules.embedding_modules import (  # noqa: F401
+    EmbeddingBagCollection,
+    EmbeddingCollection,
+)
+
+
+def __getattr__(name):
+    """Lazy heavyweight exports (the reference exposes these at top level
+    too: torchrec.DistributedModelParallel etc.)."""
+    if name == "DistributedModelParallel":
+        from torchrec_tpu.parallel import DistributedModelParallel
+
+        return DistributedModelParallel
+    if name == "EmbeddingShardingPlanner":
+        from torchrec_tpu.planner import EmbeddingShardingPlanner
+
+        return EmbeddingShardingPlanner
+    raise AttributeError(f"module 'torchrec_tpu' has no attribute {name!r}")
