@@ -79,3 +79,26 @@ def test_bert4rec_main_dp_mode():
         "--nhead", "2", "--num_layers", "1", "--mode", "dp",
     ])
     assert 0.0 <= r["hr@10"] <= 1.0
+
+
+def test_dlrm_main_criteo_npy_smoke(tmp_path):
+    """The real-data path: npy triple -> loader -> train -> eval."""
+    import numpy as _np
+
+    from examples import dlrm_main
+
+    rng = _np.random.RandomState(0)
+    N = 2000
+    _np.save(tmp_path / "day_0_dense.npy", rng.randn(N, 13).astype(_np.float32))
+    _np.save(tmp_path / "day_0_sparse.npy",
+             rng.randint(0, 500, (N, 26)).astype(_np.int32))
+    _np.save(tmp_path / "day_0_labels.npy",
+             rng.randint(0, 2, (N, 1)).astype(_np.int32))
+    res = dlrm_main.main([
+        "--in_memory_binary_criteo_path", str(tmp_path),
+        "--batch_size", "128", "--num_embeddings", "500",
+        "--embedding_dim", "16",
+        "--dense_arch_layer_sizes", "16,16",
+        "--over_arch_layer_sizes", "16,1",
+    ])
+    assert 0.0 <= res["auroc"] <= 1.0

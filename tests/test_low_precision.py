@@ -155,3 +155,33 @@ def test_stochastic_round_primitive_unbiased():
     assert abs(m - (1.0 + 1e-3)) < 5e-4  # unbiased within sampling noise
     vals = np.unique(np.asarray(out, np.float32))
     assert len(vals) == 2  # rounds to the two neighbours only
+
+
+def test_sequence_collection_bf16(env):
+    """ShardedEmbeddingCollection with bf16 tables: per-token rows come
+    back finite and close to the fp32 path."""
+    from torchrec_tpu.modules import EmbeddingConfig
+    from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
+
+    rng = np.random.RandomState(0)
+    dense = {"s0": rng.randn(50, D).astype(np.float32)}
+
+    def build(dt):
+        tabs = (EmbeddingConfig(num_embeddings=50, embedding_dim=D,
+                                name="s0", feature_names=["f0"],
+                                data_type=dt),)
+        return ShardedEmbeddingCollection(
+            env, tabs, {"s0": ParameterSharding(ShardingType.ROW_WISE)},
+        )
+
+    sb = _batch(2).select_features([0])
+    outs = {}
+    for dt in (DataType.FP32, DataType.BF16):
+        ec = build(dt)
+        states = ec.shard_from_dense(dense)
+        rows = jax.jit(ec.forward)(states, sb)["f0"]
+        outs[dt] = np.asarray(rows, np.float32)
+        assert np.isfinite(outs[dt]).all()
+    np.testing.assert_allclose(
+        outs[DataType.BF16], outs[DataType.FP32], rtol=2e-2, atol=2e-2
+    )
