@@ -237,3 +237,36 @@ def test_dmp_default_plan(env):
     state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
     loss, _ = dmp.forward(state, dense, sb, labels)[0], None
     assert np.isfinite(float(loss))
+
+
+def test_dmp_plans_via_planner_when_no_plan_given():
+    """ref: model_parallel.py:200-212 — DMP without an explicit plan runs
+    the cost-model planner constrained by the module's sharder."""
+    model = _model()
+    dmp = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        dense_optimizer=optax.sgd(0.1),
+    )
+    key = "dlrm/embedding_bag_collection"
+    assert key in dmp.sharded_ebcs
+    # planner assigned a concrete strategy per group and it runs
+    rng = np.random.RandomState(0)
+    tables = _tables()
+    feats = [f for t in tables for f in t.feature_names]
+    rows = {f: t.num_embeddings for t in tables for f in t.feature_names}
+    lengths = rng.randint(0, L + 1, size=(len(feats) * B,)).astype(np.int32)
+    vals = []
+    for fi, f in enumerate(feats):
+        for b in range(B):
+            vals.extend(rng.randint(0, rows[f],
+                                    size=(lengths[fi * B + b],)).tolist())
+    from torchrec_tpu.sparse import KeyedJaggedTensor as KJT
+    sb = KJT.from_lengths(
+        feats, jnp.asarray(np.asarray(vals, np.int32)), jnp.asarray(lengths)
+    ).to_padded(L)
+    dense = jnp.asarray(rng.randn(B, DENSE_IN).astype(np.float32))
+    labels = jnp.asarray(np.zeros(B, np.float32))
+    state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+    _, loss, _ = dmp.make_train_step(donate=False)(state, dense, sb, labels)
+    assert np.isfinite(float(loss))

@@ -28,3 +28,10 @@ from torchrec_tpu.parallel.variable_batch import (  # noqa: F401
     masked_bce_with_logits,
     masked_mean,
 )
+from torchrec_tpu.parallel.sharders import (  # noqa: F401
+    EmbeddingBagCollectionSharder,
+    EmbeddingCollectionSharder,
+    ModuleSharder,
+    QuantEmbeddingBagCollectionSharder,
+    get_default_sharders,
+)

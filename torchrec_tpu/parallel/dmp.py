@@ -196,18 +196,40 @@ class DMPState:
 
 
 def _default_plan(
-    tables, world_size: int
+    tables, env: ShardingEnv, sharder
 ) -> Dict[str, ParameterSharding]:
-    """Fallback when no planner output is given: row-wise everything big,
-    data-parallel tiny tables (ref default-sharder spirit,
-    model_parallel.py:43-47)."""
-    plan = {}
-    for cfg in tables:
-        if cfg.num_embeddings < 64:
-            plan[cfg.name] = ParameterSharding(ShardingType.DATA_PARALLEL)
-        else:
-            plan[cfg.name] = ParameterSharding(ShardingType.ROW_WISE)
-    return plan
+    """No explicit plan: run the cost-model planner constrained to the
+    module's sharder capabilities (the reference plans via
+    EmbeddingShardingPlanner.collective_plan when DMP gets no plan,
+    model_parallel.py:200-212). Falls back to a RW/DP heuristic when the
+    planner cannot find a feasible layout for the toy topology."""
+    from torchrec_tpu.planner import (
+        EmbeddingShardingPlanner,
+        ParameterConstraints,
+        Topology,
+    )
+    from torchrec_tpu.planner.types import PlannerError
+
+    try:
+        topo = Topology(world_size=env.world_size)
+        constraints = {
+            t.name: ParameterConstraints(
+                sharding_types=sharder.sharding_types()
+            )
+            for t in tables
+        }
+        planner = EmbeddingShardingPlanner(topo, constraints=constraints)
+        return planner.plan(tables, module_path="m").plan["m"]
+    except PlannerError:
+        plan = {}
+        for cfg in tables:
+            if cfg.num_embeddings < 64:
+                plan[cfg.name] = ParameterSharding(
+                    ShardingType.DATA_PARALLEL
+                )
+            else:
+                plan[cfg.name] = ParameterSharding(ShardingType.ROW_WISE)
+        return plan
 
 
 class DistributedModelParallel:
@@ -247,7 +269,17 @@ class DistributedModelParallel:
             if plan is not None:
                 module_plan = plan.get_plan_for_module("/".join(path))
             if module_plan is None:
-                module_plan = _default_plan(mod.tables, self.env.world_size)
+                from torchrec_tpu.parallel.sharders import (
+                    EmbeddingBagCollectionSharder,
+                    EmbeddingCollectionSharder,
+                )
+
+                sharder = (
+                    EmbeddingCollectionSharder()
+                    if isinstance(mod, EmbeddingCollection)
+                    else EmbeddingBagCollectionSharder()
+                )
+                module_plan = _default_plan(mod.tables, self.env, sharder)
             if isinstance(mod, EmbeddingCollection):
                 self.sharded_ebcs[key] = ShardedEmbeddingCollection(
                     self.env,
