@@ -39,6 +39,10 @@ def parse_args(argv) -> argparse.Namespace:
     p.add_argument("--num_embeddings_per_feature", type=str, default=None)
     p.add_argument("--learning_rate", type=float, default=1.0)
     p.add_argument("--dense_learning_rate", type=float, default=0.1)
+    p.add_argument("--lr_change_point", type=int, default=None,
+                   help="step at which the embedding lr drops "
+                        "(ref: dlrm_main.py:346-353)")
+    p.add_argument("--lr_after_change_point", type=float, default=None)
     p.add_argument("--eps", type=float, default=1e-8)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--in_memory_binary_criteo_path", type=str, default=None)
@@ -133,7 +137,22 @@ def main(argv: Optional[List[str]] = None) -> dict:
         env=env,
         plan=plan,
         fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
-        fused_params={"learning_rate": args.learning_rate, "eps": args.eps},
+        fused_params={
+            "learning_rate": args.learning_rate,
+            "eps": args.eps,
+            # step-function lr schedule (ref: dlrm_main.py:346-353)
+            **(
+                {
+                    "lr_schedule": lambda step: jnp.where(
+                        step < args.lr_change_point,
+                        args.learning_rate,
+                        args.lr_after_change_point,
+                    )
+                }
+                if args.lr_change_point is not None
+                else {}
+            ),
+        },
         dense_optimizer=optax.sgd(args.dense_learning_rate),
     )
 

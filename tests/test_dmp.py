@@ -270,3 +270,57 @@ def test_dmp_plans_via_planner_when_no_plan_given():
     state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
     _, loss, _ = dmp.make_train_step(donate=False)(state, dense, sb, labels)
     assert np.isfinite(float(loss))
+
+
+def test_fused_lr_schedule():
+    """In-graph lr schedule for the fused optimizer (ref: TBE lr sync,
+    batched_embedding_kernel.py:250-257 + the DLRM lr-change schedule)."""
+    model = _model()
+    calls = []
+
+    def sched(step):
+        calls.append(True)
+        return jnp.where(step < 1, 1.0, 0.0)  # lr 1.0 on step 0, then 0
+
+    dmp = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+            t.name: ParameterSharding(ShardingType.ROW_WISE)
+            for t in _tables()}}),
+        fused_optim=EmbOptimType.SGD,
+        fused_params={"learning_rate": 1.0, "lr_schedule": sched},
+        dense_optimizer=optax.sgd(0.0),
+    )
+    rng = np.random.RandomState(0)
+    tables = _tables()
+    feats = [f for t in tables for f in t.feature_names]
+    rows = {f: t.num_embeddings for t in tables for f in t.feature_names}
+    lengths = np.ones((len(feats) * B,), np.int32)
+    vals = []
+    for fi, f in enumerate(feats):
+        vals.extend(rng.randint(0, rows[f], size=(B,)).tolist())
+    from torchrec_tpu.sparse import KeyedJaggedTensor as KJT
+    sb = KJT.from_lengths(
+        feats, jnp.asarray(np.asarray(vals, np.int32)), jnp.asarray(lengths)
+    ).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, DENSE_IN).astype(np.float32))
+    labels = jnp.asarray(np.zeros(B, np.float32))
+    state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+    step = dmp.make_train_step(donate=False)
+    w0 = dmp.state_dict(state)["embeddings/dlrm/embedding_bag_collection"]
+
+    state, _, _ = step(state, dense, sb, labels)  # step 0: lr 1.0
+    w1 = dmp.state_dict(state)["embeddings/dlrm/embedding_bag_collection"]
+    state, _, _ = step(state, dense, sb, labels)  # step 1: lr 0.0
+    w2 = dmp.state_dict(state)["embeddings/dlrm/embedding_bag_collection"]
+
+    moved = any(
+        not np.array_equal(np.asarray(w1[k]), np.asarray(w0[k]))
+        for k in w0
+    )
+    frozen = all(
+        np.array_equal(np.asarray(w2[k]), np.asarray(w1[k])) for k in w1
+    )
+    assert calls, "schedule never evaluated"
+    assert moved and frozen

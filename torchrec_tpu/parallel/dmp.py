@@ -257,6 +257,12 @@ class DistributedModelParallel:
             )
         fused_params = dict(fused_params or {})
         self.learning_rate = fused_params.pop("learning_rate", 0.01)
+        # optional step -> lr schedule for the fused embedding optimizer
+        # (the reference syncs lr into the TBE per step — set_learning_rate
+        # via EmbeddingFusedOptimizer.step(), batched_embedding_kernel.py
+        # :250-257 — driven by e.g. the DLRM lr-change schedule,
+        # dlrm_main.py:346-353). Evaluated in-graph on state.step.
+        self.fused_lr_schedule = fused_params.pop("lr_schedule", None)
         self.sharded_ebcs: Dict[str, Any] = {}
         self._kinds: Dict[str, str] = {}  # "ebc" (pooled) | "ec" (sequence)
         self._paths: Dict[str, Tuple[str, ...]] = {}
@@ -360,13 +366,16 @@ class DistributedModelParallel:
             return ebc.forward_stacked(state.emb_states[key], sb)
         return ebc.forward(state.emb_states[key], sb).values
 
-    def _update_module(self, state_emb, key: str, sb, d_values):
+    def _update_module(self, state_emb, key: str, sb, d_values, step):
         ebc = self.sharded_ebcs[key]
+        lr = (
+            self.fused_lr_schedule(step)
+            if self.fused_lr_schedule is not None
+            else self.learning_rate
+        )
         if self._kinds[key] == "ec":
-            return ebc.update_stacked(
-                state_emb, sb, d_values, self.learning_rate
-            )
-        return ebc.update(state_emb, sb, d_values, self.learning_rate)
+            return ebc.update_stacked(state_emb, sb, d_values, lr)
+        return ebc.update(state_emb, sb, d_values, lr)
 
     def _find_sparse_arg(self, args) -> PaddedSparseBatch:
         for a in args:
@@ -433,7 +442,8 @@ class DistributedModelParallel:
             new_dense = optax.apply_updates(state.dense_params, updates)
             new_emb = {
                 key: self._update_module(
-                    state.emb_states[key], key, sb, d_pooled[key]
+                    state.emb_states[key], key, sb, d_pooled[key],
+                    state.step,
                 )
                 for key in self.sharded_ebcs
             }
