@@ -173,6 +173,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 hashes=rows_per_feature,
                 shuffle_batches=args.shuffle_batches and stage == "train",
                 seed=args.seed,
+                undersampling_rate=(
+                    args.undersampled_rate if stage == "train" else None
+                ),
             )
         return RandomRecDataset(
             keys=keys,
@@ -220,6 +223,23 @@ def main(argv: Optional[List[str]] = None) -> dict:
         state, _l, _ = fused_step(state, _k0)
         float(_l)
 
+    def run_validation(cur_state, tag):
+        scores, labels = [], []
+        for batch in make_loader("val"):
+            _, (_, logits, lab) = eval_fwd(cur_state, batch)
+            scores.append(np.asarray(jax.nn.sigmoid(logits)))
+            labels.append(np.asarray(lab))
+        scores = np.concatenate(scores)
+        labels = np.concatenate(labels)
+        res = {
+            "auroc": auroc(scores, labels),
+            "accuracy": accuracy(scores, labels),
+        }
+        print(f"{tag}: val AUROC {res['auroc']:.5f} "
+              f"accuracy {res['accuracy']:.5f}")
+        return res
+
+    vfreq = args.validation_freq_within_epoch
     results = {}
     for epoch in range(args.epochs):
         n, t0 = 0, time.perf_counter()
@@ -231,6 +251,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 n += 1
                 if n % 50 == 0:
                     losses.append(float(loss))
+                if vfreq and n % vfreq == 0:
+                    run_validation(state, f"epoch {epoch} it {n}")
             float(loss)  # hard sync before timing
         else:
             pipe = TrainPipeline(train_step, state)
@@ -243,6 +265,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 n += 1
                 if n % 50 == 0:
                     losses.append(float(loss))
+                if vfreq and n % vfreq == 0:
+                    run_validation(pipe.state, f"epoch {epoch} it {n}")
             state = pipe.state
             float(loss)
         dt = time.perf_counter() - t0
@@ -253,22 +277,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         )
 
         # evaluation (ref: _evaluate, dlrm_main.py:209-269)
-        scores, labels = [], []
-        for batch in make_loader("val"):
-            _, (_, logits, lab) = eval_fwd(state, batch)
-            scores.append(np.asarray(jax.nn.sigmoid(logits)))
-            labels.append(np.asarray(lab))
-        scores = np.concatenate(scores)
-        labels = np.concatenate(labels)
-        results = {
-            "auroc": auroc(scores, labels),
-            "accuracy": accuracy(scores, labels),
-            "throughput": throughput,
-        }
-        print(
-            f"epoch {epoch}: val AUROC {results['auroc']:.5f} "
-            f"accuracy {results['accuracy']:.5f}"
-        )
+        results = run_validation(state, f"epoch {epoch}")
+        results["throughput"] = throughput
 
     if args.save_dir:
         from torchrec_tpu.utils.checkpoint import save_reshardable

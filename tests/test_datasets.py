@@ -229,3 +229,27 @@ def test_preproc_scripts_cli(tmp_path):
     out = np.load(contig / "day_0_sparse_contig_freq.npy")
     assert out.shape == (rows, CAT_FEATURE_COUNT)
     assert out.min() >= 2  # contiguous ids start at 2
+
+
+def test_criteo_undersampling(tmp_path):
+    """undersampling keeps all positives and ~rate of negatives
+    (ref: dlrm --undersampled_rate)."""
+    from torchrec_tpu.datasets.criteo import InMemoryBinaryCriteoIterDataPipe
+
+    rng = np.random.RandomState(0)
+    N = 4000
+    np.save(tmp_path / "d.npy", rng.randn(N, 13).astype(np.float32))
+    np.save(tmp_path / "s.npy", rng.randint(0, 50, (N, 26)).astype(np.int32))
+    labels = (rng.rand(N, 1) < 0.25).astype(np.int32)
+    np.save(tmp_path / "l.npy", labels)
+    pipe = InMemoryBinaryCriteoIterDataPipe(
+        [str(tmp_path / "d.npy")], [str(tmp_path / "s.npy")],
+        [str(tmp_path / "l.npy")], batch_size=64,
+        undersampling_rate=0.2,
+    )
+    n_pos = int(labels.sum())
+    n_neg = N - n_pos
+    kept = pipe.labels.shape[0]
+    assert pipe.labels.sum() == n_pos  # every positive kept
+    frac_neg = (kept - n_pos) / n_neg
+    assert 0.1 < frac_neg < 0.3

@@ -369,7 +369,12 @@ class InMemoryBinaryCriteoIterDataPipe:
         hashes: Optional[Sequence[int]] = None,
         mmap_mode: bool = False,
         seed: int = 0,
+        undersampling_rate: Optional[float] = None,
     ):
+        """undersampling_rate: keep this fraction of NEGATIVE examples
+        (positives always kept) — the reference's class-imbalance
+        undersampling (ref: criteo.py rand-filter / dlrm_main.py
+        --undersampled_rate)."""
         self.batch_size = batch_size
         self.rank = rank
         self.world_size = world_size
@@ -415,6 +420,13 @@ class InMemoryBinaryCriteoIterDataPipe:
                 self.sparse.astype(np.int64) % self.hashes[None, :]
             ).astype(np.int32)
             self.sparse = np.abs(self.sparse)
+        if undersampling_rate is not None:
+            keep = (self.labels[:, 0] == 1) | (
+                self._rng.rand(self.labels.shape[0]) < undersampling_rate
+            )
+            self.dense = self.dense[keep]
+            self.sparse = self.sparse[keep]
+            self.labels = self.labels[keep]
         self.num_rows = self.dense.shape[0]
         self.num_batches = self.num_rows // batch_size
 
