@@ -190,3 +190,41 @@ def test_bert4rec_dmp_trains(env):
         state, loss, _ = step(state, s, lab)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.5, (losses[0], losses[-1])
+
+
+def test_ec_state_dict_roundtrip(env):
+    """DMP state_dict/load_tables covers EmbeddingCollection modules too
+    (ref: model_parallel.py:392-456 flat original-FQN state dicts)."""
+    import optax
+
+    from torchrec_tpu.models.bert4rec import make_item_embedding_collection
+    from torchrec_tpu.parallel import DistributedModelParallel, ShardingPlan
+
+    model = BERT4RecTrain(
+        model=BERT4Rec(vocab_size=40, max_len=L, emb_dim=D, nhead=2,
+                       num_layers=1, dropout=0.0,
+                       ec=make_item_embedding_collection(40, D, L))
+    )
+    rng = np.random.RandomState(0)
+    lengths = np.full((B,), L, np.int32)
+    vals = rng.randint(1, 40, size=(B * L,)).astype(np.int32)
+    sb = KeyedJaggedTensor.from_lengths(
+        ["item"], jnp.asarray(vals), jnp.asarray(lengths)
+    ).to_padded(L)
+    labels = jnp.asarray(np.asarray(sb.ids[0]))
+    plan = ShardingPlan({"model/ec": {
+        "item_embedding": ParameterSharding(ShardingType.ROW_WISE)}})
+    dmp = DistributedModelParallel(
+        model, env=env, plan=plan, dense_optimizer=optax.adam(1e-3))
+    state = dmp.init(jax.random.PRNGKey(0), sb, labels)
+    sd = dmp.state_dict(state)
+    assert "embeddings/model/ec" in sd
+    w = sd["embeddings/model/ec"]["item_embedding"]
+    assert w.shape[0] >= 40  # positional rows may extend the table
+
+    # perturb + reload by key
+    w2 = {"item_embedding": np.asarray(w) + 1.0}
+    state2 = dmp.load_tables(state, {"model/ec": w2})
+    back = dmp.state_dict(state2)["embeddings/model/ec"]["item_embedding"]
+    np.testing.assert_allclose(np.asarray(back), w2["item_embedding"],
+                               rtol=1e-6)
