@@ -218,3 +218,71 @@ def test_planner_falls_back_to_uvm_caching():
     entries = plan.plan["m"]
     assert entries["huge"].compute_kernel is ComputeKernel.FUSED_UVM_CACHING
     assert entries["small"].compute_kernel is ComputeKernel.FUSED
+
+
+def test_planner_hierarchical_twrw():
+    """Multi-host topology enumerates TWRW/TWCW; constrained TWRW plans
+    pick the least-loaded host and assign its local ranks (ref:
+    GreedyPerfPartitioner HOST-group bin packing, partitioners.py:79-275)."""
+    from torchrec_tpu.planner import ParameterConstraints
+
+    topo = Topology(world_size=8, local_world_size=4, tpu_gen="v5e",
+                    batch_size=64)
+    tables = [
+        EmbeddingBagConfig(num_embeddings=1000, embedding_dim=64,
+                           name=f"h{i}", feature_names=[f"f{i}"])
+        for i in range(4)
+    ]
+    planner = EmbeddingShardingPlanner(
+        topo,
+        constraints={
+            t.name: ParameterConstraints(
+                sharding_types=[ShardingType.TABLE_ROW_WISE]
+            )
+            for t in tables
+        },
+    )
+    plan = planner.plan(tables, module_path="m")
+    entries = plan.plan["m"]
+    hosts = []
+    for name, ps in entries.items():
+        assert ps.sharding_type is ShardingType.TABLE_ROW_WISE
+        assert ps.host in (0, 1)
+        # ranks are exactly that host's local devices
+        assert sorted(ps.ranks) == [ps.host * 4 + l for l in range(4)]
+        hosts.append(ps.host)
+    assert set(hosts) == {0, 1}  # load spread over both hosts
+
+
+def test_planner_twrw_plan_feeds_sharded_ebc():
+    """A planner-produced hierarchical plan drives the runtime strategies."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrec_tpu.parallel import ShardedEmbeddingBagCollection, ShardingEnv
+    from torchrec_tpu.planner import ParameterConstraints
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    topo = Topology(world_size=8, local_world_size=4, tpu_gen="v5e",
+                    batch_size=16)
+    tables = (
+        EmbeddingBagConfig(num_embeddings=64, embedding_dim=64, name="h0",
+                           feature_names=["f0"]),
+    )
+    planner = EmbeddingShardingPlanner(
+        topo,
+        constraints={"h0": ParameterConstraints(
+            sharding_types=[ShardingType.TABLE_ROW_WISE])},
+    )
+    module_plan = planner.plan(tables, module_path="m").plan["m"]
+    env = ShardingEnv.from_devices(local_size=4)
+    ebc = ShardedEmbeddingBagCollection(env, tables, module_plan)
+    rng = np.random.RandomState(0)
+    B2 = 16
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0"], jnp.asarray(rng.randint(0, 64, B2).astype(np.int32)),
+        jnp.asarray(np.ones(B2, np.int32)),
+    ).to_padded(1)
+    states = ebc.init(jax.random.PRNGKey(0))
+    kt = jax.jit(ebc.forward)(states, sb)
+    assert np.isfinite(np.asarray(kt.values)).all()

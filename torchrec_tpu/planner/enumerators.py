@@ -34,6 +34,9 @@ DEFAULT_SHARDING_TYPES = [
     ShardingType.TABLE_WISE,
     ShardingType.ROW_WISE,
     ShardingType.COLUMN_WISE,
+    # hierarchical types enumerate only when the topology has >1 host
+    ShardingType.TABLE_ROW_WISE,
+    ShardingType.TABLE_COLUMN_WISE,
 ]
 # FUSED preferred; the UVM-caching kernel is enumerated as the fallback
 # for tables that cannot fit in HBM (the proposer ranks it worse on perf,
@@ -84,6 +87,29 @@ class EmbeddingEnumerator(Enumerator):
             return [
                 Shard(size=(R, piece), offset=(0, r * piece), rank=r)
                 for r in range(n)
+            ]
+        Lc = self._topology.local_world_size
+        if st is ShardingType.TABLE_ROW_WISE:
+            # host-pinned table, rows over its Lc local devices (ref:
+            # twrw geometry, matching TwRwEmbeddingSharding's padded-even
+            # blocks); host chosen by the partitioner
+            if self._topology.num_hosts < 2:
+                return None
+            block = _cdiv(R, Lc)
+            return [
+                Shard(size=(min(block, max(R - l * block, 0)), D),
+                      offset=(l * block, 0))
+                for l in range(Lc)
+            ]
+        if st is ShardingType.TABLE_COLUMN_WISE:
+            if self._topology.num_hosts < 2:
+                return None
+            if D % Lc != 0 or D // Lc < min_partition:
+                return None
+            piece = D // Lc
+            return [
+                Shard(size=(R, piece), offset=(0, l * piece))
+                for l in range(Lc)
             ]
         return None
 

@@ -103,6 +103,29 @@ class EmbeddingPerfEstimator:
                     F * B * n * pooling * cols * _DTYPE_BYTES
                 ) / kernel_bw
                 output_dist = pooled_bytes / bw_comm
+            elif option.sharding_type is ShardingType.TABLE_ROW_WISE:
+                # host-pinned rows: intra-host reduce-scatter rides ICI,
+                # the cross-host batch routing rides DCN
+                # (ref twrw_sharding.py:441-484; bandwidths §2.5)
+                Lc = t.local_world_size
+                input_dist = ids_bytes / bw_comm
+                compute = (
+                    F * (B * n / Lc) * pooling * cols * _DTYPE_BYTES
+                ) / kernel_bw
+                output_dist = (
+                    pooled_bytes / bw_comm  # intra reduce-scatter
+                    + pooled_bytes * t.num_hosts / t.dcn_bw  # cross a2a
+                )
+            elif option.sharding_type is ShardingType.TABLE_COLUMN_WISE:
+                Lc = t.local_world_size
+                input_dist = ids_bytes / bw_comm
+                compute = (
+                    F * B * n * pooling * cols * _DTYPE_BYTES
+                ) / kernel_bw
+                output_dist = (
+                    pooled_bytes / bw_comm
+                    + pooled_bytes * t.num_hosts / t.dcn_bw
+                )
             else:
                 raise NotImplementedError(option.sharding_type)
             # fwd + bwd symmetric traffic; update doubles compute bytes

@@ -45,6 +45,7 @@ class GreedyPerfPartitioner(Partitioner):
         plan = copy.deepcopy(proposal)
         # uniform options: 1:1 rank placement
         tw_options = []
+        host_options = []
         for opt in plan:
             if opt.sharding_type in (
                 ShardingType.ROW_WISE,
@@ -58,8 +59,48 @@ class GreedyPerfPartitioner(Partitioner):
                     )
                 for r, shard in enumerate(opt.shards):
                     place(shard, r)
+            elif opt.sharding_type in (
+                ShardingType.TABLE_ROW_WISE,
+                ShardingType.TABLE_COLUMN_WISE,
+            ):
+                host_options.append(opt)
             else:
                 tw_options.append(opt)
+
+        # HOST options: biggest first onto the least-loaded feasible host
+        # (ref: partitioners.py:79-275 host-group bin packing)
+        Lc = topology.local_world_size
+        n_hosts = topology.world_size // Lc
+        host_options.sort(key=lambda o: o.total_storage.hbm, reverse=True)
+        for opt in host_options:
+            if len(opt.shards) != Lc:
+                raise PlannerError(
+                    f"{opt.name}: host option has {len(opt.shards)} shards "
+                    f"for local size {Lc}"
+                )
+            ranked_hosts = sorted(
+                range(n_hosts),
+                key=lambda h: sum(
+                    devices[h * Lc + l].perf for l in range(Lc)
+                ),
+            )
+            placed_host = None
+            for h in ranked_hosts:
+                if all(
+                    s.storage.fits_in(devices[h * Lc + l].storage)
+                    for l, s in enumerate(opt.shards)
+                ):
+                    for l, s in enumerate(opt.shards):
+                        place(s, h * Lc + l)
+                    placed_host = h
+                    break
+            if placed_host is None:
+                raise PlannerError(
+                    f"no host can hold table {opt.name} "
+                    f"({opt.total_storage.hbm/1024**2:.0f}MiB HBM over "
+                    f"{Lc} devices)"
+                )
+            opt.host = placed_host
 
         # device options: biggest first onto min-perf feasible device
         tw_options.sort(key=lambda o: o.total_storage.hbm, reverse=True)

@@ -155,5 +155,6 @@ class EmbeddingShardingPlanner:
                 sharding_type=opt.sharding_type,
                 compute_kernel=opt.compute_kernel,
                 ranks=ranks,
+                host=opt.host,
             )
         return ShardingPlan({module_path: entries})
