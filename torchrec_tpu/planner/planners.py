@@ -145,6 +145,17 @@ class EmbeddingShardingPlanner:
         self.last_stats = self._stats.log(best_plan, topology, best_rating)
         return self._to_sharding_plan(best_plan, module_path)
 
+    def collective_plan(
+        self,
+        tables,
+        module_path: str = "",
+    ) -> ShardingPlan:
+        """ref: planners.py:175-191 — the reference plans on rank 0 and
+        broadcasts. Under SPMD there is one host program and planning is
+        deterministic, so collective_plan IS plan; the alias keeps the
+        reference call sites valid."""
+        return self.plan(tables, module_path=module_path)
+
     def _to_sharding_plan(
         self, plan: List[ShardingOption], module_path: str
     ) -> ShardingPlan:
