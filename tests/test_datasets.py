@@ -253,3 +253,35 @@ def test_criteo_undersampling(tmp_path):
     assert pipe.labels.sum() == n_pos  # every positive kept
     frac_neg = (kept - n_pos) / n_neg
     assert 0.1 < frac_neg < 0.3
+
+
+def test_native_stager_matches_numpy(tmp_path):
+    """C++ threaded batch staging must produce exactly the numpy batch."""
+    from torchrec_tpu.datasets.criteo import (
+        InMemoryBinaryCriteoIterDataPipe,
+        _native_stager,
+    )
+
+    if _native_stager() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(0)
+    N = 600
+    np.save(tmp_path / "d.npy", rng.randn(N, 13).astype(np.float32))
+    np.save(tmp_path / "s.npy", rng.randint(0, 99, (N, 26)).astype(np.int32))
+    np.save(tmp_path / "l.npy", rng.randint(0, 2, (N, 1)).astype(np.int32))
+    args = ([str(tmp_path / "d.npy")], [str(tmp_path / "s.npy")],
+            [str(tmp_path / "l.npy")])
+    pipe = InMemoryBinaryCriteoIterDataPipe(*args, batch_size=128)
+    batch = pipe._make_batch(64)
+
+    # numpy reference slice
+    ref_dense = pipe.dense[64:192]
+    ref_ids = pipe.sparse[64:192].T[:, :, None]
+    ref_labels = pipe.labels[64:192, 0].astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(batch.dense_features), ref_dense)
+    np.testing.assert_array_equal(
+        np.asarray(batch.sparse_features.ids), ref_ids
+    )
+    np.testing.assert_array_equal(np.asarray(batch.labels), ref_labels)

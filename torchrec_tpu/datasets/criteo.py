@@ -87,6 +87,52 @@ def _native_parser() -> Optional[ctypes.CDLL]:
     return _NATIVE
 
 
+_STAGER: Optional[ctypes.CDLL] = None
+
+
+def _native_stager() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the C++ batch stager (csrc/batch_stager.cpp);
+    None if the toolchain is unavailable."""
+    global _STAGER
+    if _STAGER is not None:
+        return _STAGER
+    src = os.path.join(os.path.dirname(__file__), "..", "csrc",
+                       "batch_stager.cpp")
+    src = os.path.abspath(src)
+    build_dir = os.path.join(os.path.dirname(src), "_build")
+    so_path = os.path.join(build_dir, "libbatch_stager.so")
+    try:
+        if not os.path.exists(so_path) or (
+            os.path.getmtime(so_path) < os.path.getmtime(src)
+        ):
+            os.makedirs(build_dir, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+                 src, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.stage_batch.restype = None
+        lib.stage_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # dense_in
+            ctypes.POINTER(ctypes.c_int32),   # sparse_in
+            ctypes.POINTER(ctypes.c_int32),   # labels_in
+            ctypes.POINTER(ctypes.c_int64),   # order (nullable)
+            ctypes.c_int64,                   # start
+            ctypes.c_int64,                   # batch
+            ctypes.c_int32,                   # dense_dim
+            ctypes.c_int32,                   # num_feats
+            ctypes.POINTER(ctypes.c_float),   # dense_out
+            ctypes.POINTER(ctypes.c_int32),   # sparse_out
+            ctypes.POINTER(ctypes.c_float),   # labels_out
+            ctypes.c_int32,                   # num_threads
+        ]
+        _STAGER = lib
+    except Exception:
+        _STAGER = None
+    return _STAGER
+
+
 def _parse_tsv_numpy(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pure-python fallback parser (ref row_mapper, criteo.py:211-219)."""
     dense, sparse, labels = [], [], []
@@ -433,15 +479,43 @@ class InMemoryBinaryCriteoIterDataPipe:
     def _make_batch(self, lo: int) -> Batch:
         # numpy leaves: one pytree device_put downstream (single dispatch)
         B = self.batch_size
-        dense = np.asarray(self.dense[lo : lo + B], np.float32)
-        ids = np.ascontiguousarray(
-            self.sparse[lo : lo + B].T[:, :, None], np.int32
-        )  # [F, B, 1]
+        stager = (
+            _native_stager()
+            if not isinstance(self.dense, np.memmap)
+            and self.dense.dtype == np.float32
+            and self.sparse.dtype == np.int32
+            and self.labels.dtype == np.int32
+            and self.dense.flags["C_CONTIGUOUS"]
+            and self.sparse.flags["C_CONTIGUOUS"]
+            and self.labels.flags["C_CONTIGUOUS"]
+            else None
+        )
+        if stager is not None:
+            # native threaded gather + [B,F] -> [F,B] transpose in one pass
+            dense = np.empty((B, self.dense.shape[1]), np.float32)
+            ids = np.empty((CAT_FEATURE_COUNT, B, 1), np.int32)
+            labels = np.empty((B,), np.float32)
+            stager.stage_batch(
+                self.dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self.labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                None,
+                lo, B, self.dense.shape[1], CAT_FEATURE_COUNT,
+                dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                4,
+            )
+        else:
+            dense = np.asarray(self.dense[lo : lo + B], np.float32)
+            ids = np.ascontiguousarray(
+                self.sparse[lo : lo + B].T[:, :, None], np.int32
+            )  # [F, B, 1]
+            labels = np.asarray(self.labels[lo : lo + B, 0], np.float32)
         lengths = np.ones((CAT_FEATURE_COUNT, B), np.int32)
         sb = PaddedSparseBatch(
             ids=ids, lengths=lengths, keys=tuple(DEFAULT_CAT_NAMES)
         )
-        labels = np.asarray(self.labels[lo : lo + B, 0], np.float32)
         return Batch(dense_features=dense, sparse_features=sb, labels=labels)
 
     def __iter__(self) -> Iterator[Batch]:
