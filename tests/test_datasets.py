@@ -285,3 +285,44 @@ def test_native_stager_matches_numpy(tmp_path):
         np.asarray(batch.sparse_features.ids), ref_ids
     )
     np.testing.assert_array_equal(np.asarray(batch.labels), ref_labels)
+
+
+def test_criteo_day_shuffle(tmp_path):
+    """Global day-shuffle keeps the multiset of rows, permutes order, and
+    passes the last (test) day through (ref: criteo.py:500-637)."""
+    from torchrec_tpu.datasets.criteo import BinaryCriteoUtils
+
+    rng = np.random.RandomState(0)
+    days, rows = 3, 40
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir(), outd.mkdir()
+    rows_per_day = {}
+    all_sparse = []
+    for d in range(days):
+        dense = np.full((rows, 13), d, np.float32)
+        sparse = rng.randint(0, 1000, (rows, 26)).astype(np.int32)
+        labels = np.full((rows, 1), d, np.int32)
+        np.save(ind / f"day_{d}_dense.npy", dense)
+        np.save(ind / f"day_{d}_sparse.npy", sparse)
+        np.save(ind / f"day_{d}_labels.npy", labels)
+        rows_per_day[d] = rows
+        if d < days - 1:
+            all_sparse.append(sparse)
+    BinaryCriteoUtils.shuffle(
+        str(ind), str(ind), str(outd), rows_per_day, days=days, seed=0
+    )
+    out_sparse = np.concatenate([
+        np.load(outd / f"day_{d}_sparse.npy") for d in range(days - 1)
+    ])
+    want = np.concatenate(all_sparse)
+    # same multiset of rows, different order
+    got_sorted = out_sparse[np.lexsort(out_sparse.T)]
+    want_sorted = want[np.lexsort(want.T)]
+    np.testing.assert_array_equal(got_sorted, want_sorted)
+    assert not np.array_equal(out_sparse, want)
+    # test day untouched
+    np.testing.assert_array_equal(
+        np.load(outd / f"day_{days-1}_sparse.npy"),
+        np.load(ind / f"day_{days-1}_sparse.npy"),
+    )
