@@ -326,3 +326,24 @@ def test_criteo_day_shuffle(tmp_path):
         np.load(outd / f"day_{days-1}_sparse.npy"),
         np.load(ind / f"day_{days-1}_sparse.npy"),
     )
+
+
+def test_movielens_pipes(tmp_path):
+    """ref: datasets/tests for movielens.py:81,112."""
+    from torchrec_tpu.datasets.movielens import movielens_20m, movielens_25m
+
+    (tmp_path / "ratings.csv").write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,10,4.5,100\n"
+        "2,20,3.0,200\n"
+    )
+    (tmp_path / "movies.csv").write_text(
+        'movieId,title,genres\n'
+        '10,Toy Story,Animation|Comedy\n'
+    )
+    rows = list(movielens_20m(str(tmp_path)))
+    assert rows[0] == {"userId": 1, "movieId": 10, "rating": 4.5,
+                       "timestamp": 100}
+    rows = list(movielens_25m(str(tmp_path), include_movies_data=True))
+    assert rows[0]["title"] == "Toy Story"
+    assert rows[1]["genres"] == ""  # movie 20 missing from movies.csv

@@ -244,3 +244,70 @@ def test_new_optimizers_through_sharded_ebc(optim):
         jnp.asarray(d_vals), jnp.ones((B2,), bool), LR,
     )
     np.testing.assert_allclose(got, np.asarray(ref_w), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_rowwise_adagrad_vs_numpy_oracle(seed):
+    """Randomized property sweep: shapes, duplicate patterns, validity
+    masks, weight decay — exact eager-numpy oracle parity."""
+    rng = np.random.RandomState(1000 + seed)
+    R2 = int(rng.randint(8, 120))
+    D2 = int(rng.choice([4, 8, 16]))
+    N2 = int(rng.randint(1, 80))
+    wd = float(rng.choice([0.0, 0.05]))
+    lr = 0.07
+    eps = 1e-8
+    w = rng.randn(R2, D2).astype(np.float32)
+    ids = rng.randint(0, max(1, R2 // int(rng.choice([1, 3]))),
+                      size=(N2,)).astype(np.int32)
+    grads = rng.randn(N2, D2).astype(np.float32)
+    valid = rng.rand(N2) > float(rng.choice([0.0, 0.4, 0.9]))
+    m0 = np.abs(rng.randn(R2)).astype(np.float32)
+
+    opt = init_fused_optimizer_state(R2, D2, EmbOptimType.ROWWISE_ADAGRAD)
+    opt = opt.replace(momentum1=jnp.asarray(m0))
+    new_w, new_opt = apply_fused_update(
+        jnp.asarray(w), opt, jnp.asarray(ids), jnp.asarray(grads),
+        jnp.asarray(valid), lr, eps=eps, weight_decay=wd,
+    )
+
+    # oracle
+    totals = {}
+    for i in range(N2):
+        if valid[i]:
+            totals.setdefault(int(ids[i]), np.zeros(D2, np.float32))
+            totals[int(ids[i])] += grads[i]
+    ref_w = w.copy()
+    ref_m = m0.copy()
+    for r, g in totals.items():
+        if wd:
+            g = g + wd * w[r]
+        ref_m[r] += (g * g).mean()
+        ref_w[r] -= lr * g / (np.sqrt(ref_m[r]) + eps)
+    np.testing.assert_allclose(np.asarray(new_w), ref_w,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_opt.momentum1), ref_m,
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_sgd_fast_path_vs_oracle(seed):
+    """The no-dedup SGD fast path must stay exact under duplicates and
+    invalid tokens."""
+    rng = np.random.RandomState(2000 + seed)
+    R2, D2 = int(rng.randint(8, 60)), 8
+    N2 = int(rng.randint(1, 100))
+    w = rng.randn(R2, D2).astype(np.float32)
+    ids = rng.randint(0, max(1, R2 // 4), size=(N2,)).astype(np.int32)
+    grads = rng.randn(N2, D2).astype(np.float32)
+    valid = rng.rand(N2) > 0.3
+    opt = init_fused_optimizer_state(R2, D2, EmbOptimType.SGD)
+    new_w, _ = apply_fused_update(
+        jnp.asarray(w), opt, jnp.asarray(ids), jnp.asarray(grads),
+        jnp.asarray(valid), 0.1,
+    )
+    ref = w.copy()
+    for i in range(N2):
+        if valid[i]:
+            ref[ids[i]] -= 0.1 * grads[i]
+    np.testing.assert_allclose(np.asarray(new_w), ref, rtol=1e-5, atol=1e-5)
