@@ -270,3 +270,40 @@ def test_sgd_update_parity(env):
     for name in dense:
         np.testing.assert_allclose(got[name], ref[name], rtol=1e-4, atol=1e-5,
                                    err_msg=name)
+
+
+def test_weighted_update_parity(env):
+    """Per-sample-weighted pooling chains through the fused update: the
+    row gradient is psw * d_pooled (ref: weighted TBE backward)."""
+    tables = (
+        EmbeddingBagConfig(num_embeddings=50, embedding_dim=8, name="w0",
+                           feature_names=["wf0"]),
+        EmbeddingBagConfig(num_embeddings=30, embedding_dim=8, name="w1",
+                           feature_names=["wf1"]),
+    )
+    dense = _dense_weights(tables)
+    sb = _batch(tables, weighted=True)
+    sebc = ShardedEmbeddingBagCollection(
+        env, tables, _plan(tables, ShardingType.ROW_WISE), is_weighted=True,
+        optim=EmbOptimType.ROWWISE_ADAGRAD, optim_kwargs={"eps": EPS},
+    )
+    states = sebc.shard_from_dense(dense)
+    rng = np.random.RandomState(9)
+    d_vals = rng.randn(B, 16).astype(np.float32)
+    new_states = jax.jit(sebc.update)(states, sb, jnp.asarray(d_vals), LR)
+    got = sebc.unshard_to_dense(new_states)
+
+    ids = np.asarray(sb.ids)
+    lengths = np.asarray(sb.lengths)
+    psw = np.asarray(sb.weights)
+    off = 0
+    for fi, t in enumerate(tables):
+        D = t.embedding_dim
+        g = np.zeros_like(dense[t.name])
+        for b in range(B):
+            for l in range(lengths[fi, b]):
+                g[ids[fi, b, l]] += psw[fi, b, l] * d_vals[b, off:off + D]
+        m = (g**2).mean(axis=1)
+        ref_w = dense[t.name] - LR * g / (np.sqrt(m)[:, None] + EPS)
+        np.testing.assert_allclose(got[t.name], ref_w, rtol=1e-4, atol=1e-5)
+        off += D
