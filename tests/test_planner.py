@@ -286,3 +286,41 @@ def test_planner_twrw_plan_feeds_sharded_ebc():
     states = ebc.init(jax.random.PRNGKey(0))
     kt = jax.jit(ebc.forward)(states, sb)
     assert np.isfinite(np.asarray(kt.values)).all()
+
+
+def test_planner_twcw_plan_feeds_sharded_ebc():
+    """Planner-produced TWCW (host-pinned column split) plans drive the
+    hierarchical runtime strategies."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrec_tpu.parallel import ShardedEmbeddingBagCollection, ShardingEnv
+    from torchrec_tpu.planner import ParameterConstraints
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    topo = Topology(world_size=8, local_world_size=4, tpu_gen="v5e",
+                    batch_size=16)
+    tables = (
+        EmbeddingBagConfig(num_embeddings=64, embedding_dim=128, name="c0",
+                           feature_names=["f0"]),
+    )
+    planner = EmbeddingShardingPlanner(
+        topo,
+        constraints={"c0": ParameterConstraints(
+            sharding_types=[ShardingType.TABLE_COLUMN_WISE])},
+    )
+    module_plan = planner.plan(tables, module_path="m").plan["m"]
+    assert module_plan["c0"].sharding_type is ShardingType.TABLE_COLUMN_WISE
+    assert module_plan["c0"].host in (0, 1)
+    env = ShardingEnv.from_devices(local_size=4)
+    ebc = ShardedEmbeddingBagCollection(env, tables, module_plan)
+    rng = np.random.RandomState(0)
+    B2 = 16
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0"], jnp.asarray(rng.randint(0, 64, B2).astype(np.int32)),
+        jnp.asarray(np.ones(B2, np.int32)),
+    ).to_padded(1)
+    states = ebc.init(jax.random.PRNGKey(0))
+    kt = jax.jit(ebc.forward)(states, sb)
+    assert np.isfinite(np.asarray(kt.values)).all()
+    assert kt.values.shape == (B2, 128)
