@@ -249,3 +249,78 @@ def test_reshardable_checkpoint_same_plan_restores_momentum(tmp_path):
     np.testing.assert_allclose(
         float(loss_resumed), float(loss_ref), rtol=1e-6
     )
+
+
+def test_train_pipeline_matches_direct_loop():
+    """Pipelined and direct training produce identical losses over 5
+    iterations (ref: distributed/tests/test_train_pipeline.py compares
+    pipelined vs non-pipelined)."""
+    import optax
+
+    from torchrec_tpu.datasets.random import RandomRecDataset
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.parallel.train_pipeline import TrainPipeline
+
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=64, embedding_dim=16, name=f"t{i}",
+                           feature_names=[f"f{i}"]) for i in range(2)
+    )
+    model = DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(
+            tables=tables, max_feature_length=1),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+        over_arch_layer_sizes=(8, 1)))
+
+    def make_dmp():
+        return DistributedModelParallel(
+            model, env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+                "t0": ParameterSharding(ShardingType.ROW_WISE),
+                "t1": ParameterSharding(ShardingType.ROW_WISE)}}),
+            dense_optimizer=optax.sgd(0.1),
+        )
+
+    def loader():
+        return RandomRecDataset(
+            keys=["f0", "f1"], batch_size=16, hash_sizes=[64, 64],
+            ids_per_feature=1, num_dense=4, num_batches=5, manual_seed=3,
+        )
+
+    def args_of(b):
+        return (b.dense_features, b.sparse_features, b.labels)
+
+    # direct loop
+    dmp1 = make_dmp()
+    first = next(iter(loader()))
+    state1 = dmp1.init(jax.random.PRNGKey(0), *args_of(first))
+    step1 = dmp1.make_train_step(donate=False)
+    direct_losses = []
+    for b in loader():
+        state1, loss, _ = step1(state1, *args_of(b))
+        direct_losses.append(float(loss))
+
+    # pipelined loop
+    dmp2 = make_dmp()
+    state2 = dmp2.init(jax.random.PRNGKey(0), *args_of(first))
+    jit_step = dmp2.make_train_step(donate=False)
+    pipe = TrainPipeline(
+        lambda st, b: jit_step(st, *args_of(b)), state2
+    )
+    it = iter(loader())
+    piped_losses = []
+    while True:
+        try:
+            loss, _ = pipe.progress(it)
+        except StopIteration:
+            break
+        piped_losses.append(float(loss))
+
+    np.testing.assert_allclose(piped_losses, direct_losses, rtol=1e-6)
