@@ -102,3 +102,24 @@ def test_dlrm_main_criteo_npy_smoke(tmp_path):
         "--over_arch_layer_sizes", "16,1",
     ])
     assert 0.0 <= res["auroc"] <= 1.0
+
+
+def test_bert4rec_movielens_sequence_loader(tmp_path):
+    """load_movielens_sequences: time-ordered per-user item sequences with
+    contiguous re-ids (ref: bert4rec movielens preprocessing)."""
+    from examples import bert4rec_main
+
+    (tmp_path / "ratings.csv").write_text(
+        "userId,movieId,rating,timestamp\n"
+        + "".join(f"1,{m},5.0,{t}\n" for t, m in
+                  enumerate([30, 10, 20, 40, 50]))
+        + "".join(f"2,{m},4.0,{t}\n" for t, m in
+                  enumerate([10, 20, 30, 40, 60]))
+    )
+    seqs = bert4rec_main.load_movielens_sequences(str(tmp_path))
+    assert len(seqs) == 2
+    assert all(len(s) == 5 for s in seqs)
+    # user 1 watched 30 first -> it gets the first contiguous id (1)
+    assert seqs[0][0] == 1
+    # shared movies map to the same ids across users
+    assert seqs[1][:4] == [seqs[0][1], seqs[0][2], seqs[0][0], seqs[0][3]]
