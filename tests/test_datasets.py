@@ -347,3 +347,22 @@ def test_movielens_pipes(tmp_path):
     rows = list(movielens_25m(str(tmp_path), include_movies_data=True))
     assert rows[0]["title"] == "Toy Story"
     assert rows[1]["genres"] == ""  # movie 20 missing from movies.csv
+
+
+def test_parallel_read_concat_and_splits():
+    """ref: datasets/utils.py:307 ParallelReadConcat + train/val split."""
+    from torchrec_tpu.datasets.utils import (
+        ParallelReadConcat,
+        rand_split_train_val,
+    )
+
+    a = lambda: iter([1, 2, 3])
+    b = lambda: iter([10, 20])
+    merged = sorted(ParallelReadConcat(a, b))
+    assert merged == [1, 2, 3, 10, 20]
+
+    items = list(range(200))
+    train_gen, val_gen = rand_split_train_val(items, train_perc=0.8)
+    train, val = list(train_gen), list(val_gen)
+    assert sorted(train + val) == items  # disjoint exhaustive split
+    assert 0.7 < len(train) / len(items) < 0.9
