@@ -324,3 +324,34 @@ def test_fused_lr_schedule():
     )
     assert calls, "schedule never evaluated"
     assert moved and frozen
+
+
+def test_warmup_schedule_as_fused_lr_schedule():
+    """optim.warmup schedules plug directly into the fused lr_schedule
+    hook (the WarmupOptimizer-over-fused composition, ref warmup.py:78)."""
+    from torchrec_tpu.optim.warmup import (
+        WarmupPolicy,
+        WarmupStage,
+        make_warmup_schedule,
+    )
+
+    sched = make_warmup_schedule(
+        [WarmupStage(policy=WarmupPolicy.LINEAR, max_iters=4, value=1.0),
+         WarmupStage(policy=WarmupPolicy.CONSTANT, max_iters=100, value=0.5)],
+        base_lr=1.0,
+    )
+    model = _model()
+    dmp = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+            t.name: ParameterSharding(ShardingType.ROW_WISE)
+            for t in _tables()}}),
+        fused_optim=EmbOptimType.SGD,
+        fused_params={"learning_rate": 1.0, "lr_schedule": sched},
+        dense_optimizer=optax.sgd(0.0),
+    )
+    # the schedule itself behaves (linear ramp then constant 0.5)
+    assert float(sched(0)) < float(sched(3)) <= 1.0
+    np.testing.assert_allclose(float(sched(50)), 0.5, rtol=1e-6)
+    assert dmp.fused_lr_schedule is sched
