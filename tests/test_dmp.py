@@ -336,7 +336,8 @@ def test_warmup_schedule_as_fused_lr_schedule():
     )
 
     sched = make_warmup_schedule(
-        [WarmupStage(policy=WarmupPolicy.LINEAR, max_iters=4, value=1.0),
+        # LINEAR ramps value -> 1.0 over the stage
+        [WarmupStage(policy=WarmupPolicy.LINEAR, max_iters=4, value=0.1),
          WarmupStage(policy=WarmupPolicy.CONSTANT, max_iters=100, value=0.5)],
         base_lr=1.0,
     )
