@@ -228,3 +228,64 @@ def test_ec_state_dict_roundtrip(env):
     back = dmp.state_dict(state2)["embeddings/model/ec"]["item_embedding"]
     np.testing.assert_allclose(np.asarray(back), w2["item_embedding"],
                                rtol=1e-6)
+
+
+def test_sequence_twrw_parity():
+    """Hierarchical (TWRW) sequence sharding: per-token rows match the
+    unsharded reference, and the fused update matches eager rowwise
+    adagrad (ref: test_sequence_model_parallel_hierarchical.py)."""
+    env4 = ShardingEnv.from_devices(local_size=4)  # 2 hosts x 4
+    tables = _tables()
+    sec = ShardedEmbeddingCollection(
+        env4, tables,
+        {t.name: ParameterSharding(ShardingType.TABLE_ROW_WISE,
+                                   host=i % 2)
+         for i, t in enumerate(tables)},
+        optim_kwargs={"eps": 1e-8},
+    )
+    rng = np.random.RandomState(0)
+    dense = {
+        t.name: rng.randn(t.num_embeddings, t.embedding_dim).astype(
+            np.float32)
+        for t in tables
+    }
+    states = sec.shard_from_dense(dense)
+    sb = _batch(tables)
+    rows = jax.jit(sec.forward)(states, sb)
+
+    ids = np.asarray(sb.ids)
+    lengths = np.asarray(sb.lengths)
+    feats = [f for t in tables for f in t.feature_names]
+    f2t = {f: t for t in tables for f in t.feature_names}
+    # NOTE: jit sorts dict output keys; index by feature name, not order
+    for fi, f in enumerate(feats):
+        t = f2t[f]
+        got = np.asarray(rows[f])
+        ref = np.zeros_like(got)
+        for b in range(got.shape[0]):
+            for l in range(lengths[fi, b]):
+                ref[b, l] = dense[t.name][ids[fi, b, l]]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    # one update step vs eager rowwise adagrad
+    d_tokens = {
+        f: jnp.asarray(rng.randn(*rows[f].shape).astype(np.float32))
+        for f in feats
+    }
+    new_states = jax.jit(sec.update)(states, sb, d_tokens, 0.1)
+    got_w = {}
+    for s, st in zip(sec.strategies, new_states):
+        got_w.update(s.unshard_to_dense(st.weights))
+    for fi, f in enumerate(feats):
+        t = f2t[f]
+        g = np.zeros_like(dense[t.name])
+        d = np.asarray(d_tokens[f])
+        for b in range(d.shape[0]):
+            for l in range(lengths[fi, b]):
+                g[ids[fi, b, l]] += d[b, l]
+        m = (g**2).mean(axis=1)
+        ref_w = dense[t.name] - 0.1 * g / (np.sqrt(m)[:, None] + 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(got_w[t.name], np.float32), ref_w,
+            rtol=1e-4, atol=1e-5,
+        )

@@ -216,10 +216,114 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
 
 
+class TwRwSequenceEmbeddingSharding:
+    """Hierarchical (host-pinned, rows intra-host) UNPOOLED sharding
+    (ref: test_sequence_model_parallel_hierarchical.py exercises
+    TABLE_ROW_WISE for sequence models). Same metadata/layout as the
+    pooled TWRW strategy; per-token rows replace the pooled reduction:
+    intra-host psum_scatter selects each token's owning row, the
+    cross-host all_to_all routes feature slots to batch owners."""
+
+    def __new__(cls, env, meta, optim, optim_kwargs=None):
+        from torchrec_tpu.parallel.hierarchical_strategies import (
+            TwRwEmbeddingSharding,
+        )
+
+        class _Impl(TwRwEmbeddingSharding):
+            def forward(self, state, sb):
+                F, B_loc, L = sb.ids.shape
+                Lc = self.Lc
+
+                def fwd(w, ids, lengths):
+                    my = lax.axis_index(AXIS)
+                    h, l = my // Lc, my % Lc
+                    ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+                    len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+                    ids_s = self._stagger(ids_g, 1)
+                    len_s = self._stagger(len_g, 1)
+                    ids_m, len_m, _, _, sr, off = self._mine(
+                        ids_s, len_s, None, h
+                    )
+                    owner_l = ids_m // sr
+                    local = ids_m % sr + off
+                    owned = (owner_l == l) & _token_mask(len_m, L)
+                    rows = lookup_rows(
+                        w[0], local.reshape(-1)
+                    ).reshape(*local.shape, w.shape[-1])
+                    rows = rows * owned.astype(w.dtype)[..., None]
+                    intra = lax.psum_scatter(
+                        rows, AXIS, scatter_dimension=1, tiled=True,
+                        axis_index_groups=self.intra_groups,
+                    )  # [f_max, B/Lc, L, D]
+                    cross = lax.all_to_all(
+                        intra, AXIS, split_axis=1, concat_axis=0,
+                        tiled=True, axis_index_groups=self.cross_groups,
+                    )  # [H*f_max, B/n, L, D]
+                    return cross[jnp.asarray(self.out_pos)]
+
+                return jax.shard_map(
+                    fwd,
+                    mesh=self.env.mesh,
+                    in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS)),
+                    out_specs=P(None, AXIS),
+                )(state.weights, sb.ids, sb.lengths)
+
+            def update(self, state, sb, d_tokens, learning_rate):
+                F, B_loc, L = sb.ids.shape
+                Lc = self.Lc
+                D = self.dim
+                f_max = self.f_max
+
+                def upd(w, opt, ids, lengths, d_out, lr):
+                    my = lax.axis_index(AXIS)
+                    h, l = my // Lc, my % Lc
+                    ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+                    len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+                    ids_s = self._stagger(ids_g, 1)
+                    len_s = self._stagger(len_g, 1)
+                    slots = jnp.zeros(
+                        (self.H * f_max, d_out.shape[1], L, D), d_out.dtype
+                    ).at[jnp.asarray(self.out_pos)].set(d_out)
+                    d1 = lax.all_to_all(
+                        slots, AXIS, split_axis=0, concat_axis=1,
+                        tiled=True, axis_index_groups=self.cross_groups,
+                    )  # [f_max, B/Lc, L, D]
+                    d_full = lax.all_gather(
+                        d1, AXIS, axis=1, tiled=True,
+                        axis_index_groups=self.intra_groups,
+                    )  # [f_max, B, L, D] staggered (matches ids_s)
+                    ids_m, len_m, _, _, sr, off = self._mine(
+                        ids_s, len_s, None, h
+                    )
+                    owner_l = ids_m // sr
+                    local = ids_m % sr + off
+                    owned = (owner_l == l) & _token_mask(len_m, L)
+                    new_w, new_opt = apply_fused_update(
+                        w[0], self._opt_local(opt),
+                        local.reshape(-1), d_full.reshape(-1, D),
+                        owned.reshape(-1), lr, **self.optim_kwargs,
+                    )
+                    return new_w[None], self._opt_relocal(new_opt)
+
+                new_w, new_opt = jax.shard_map(
+                    upd,
+                    mesh=self.env.mesh,
+                    in_specs=(P(AXIS), self._opt_specs(sharded=True),
+                              P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                              P()),
+                    out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+                )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
+                  jnp.asarray(learning_rate, jnp.float32))
+                return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+        return _Impl(env, meta, optim, optim_kwargs)
+
+
 SEQUENCE_STRATEGY_REGISTRY = {
     ShardingType.DATA_PARALLEL: DpSequenceEmbeddingSharding,
     ShardingType.ROW_WISE: RwSequenceEmbeddingSharding,
     ShardingType.TABLE_WISE: TwSequenceEmbeddingSharding,
+    ShardingType.TABLE_ROW_WISE: TwRwSequenceEmbeddingSharding,
 }
 
 
