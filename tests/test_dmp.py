@@ -356,3 +356,35 @@ def test_warmup_schedule_as_fused_lr_schedule():
     assert float(sched(0)) < float(sched(3)) <= 1.0
     np.testing.assert_allclose(float(sched(50)), 0.5, rtol=1e-6)
     assert dmp.fused_lr_schedule is sched
+
+
+def test_dmp_sharders_carry_fused_params():
+    """ref: DMP(sharders=[EBCSharder(fused_params={lr})]) — the reference
+    wires lr through the sharder (dlrm_main.py:524-535)."""
+    from torchrec_tpu.parallel.sharders import EmbeddingBagCollectionSharder
+
+    model = _model()
+    dmp = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+            t.name: ParameterSharding(ShardingType.ROW_WISE)
+            for t in _tables()}}),
+        sharders=[EmbeddingBagCollectionSharder(
+            fused_params={"learning_rate": 0.123})],
+        dense_optimizer=optax.sgd(0.1),
+    )
+    assert dmp.learning_rate == 0.123
+    # explicit fused_params win over sharder-provided
+    dmp2 = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+            t.name: ParameterSharding(ShardingType.ROW_WISE)
+            for t in _tables()}}),
+        sharders=[EmbeddingBagCollectionSharder(
+            fused_params={"learning_rate": 0.123})],
+        fused_params={"learning_rate": 0.5},
+        dense_optimizer=optax.sgd(0.1),
+    )
+    assert dmp2.learning_rate == 0.5

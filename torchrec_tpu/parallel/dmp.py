@@ -245,6 +245,7 @@ class DistributedModelParallel:
         fused_optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
         fused_params: Optional[dict] = None,
         dense_optimizer: Optional[optax.GradientTransformation] = None,
+        sharders: Optional[list] = None,
     ):
         self.env = env or ShardingEnv.from_devices()
         self.module = module
@@ -255,7 +256,16 @@ class DistributedModelParallel:
                 "module (embedding modules must be declared dataclass "
                 "fields, not created inside setup(), to be shardable)"
             )
-        fused_params = dict(fused_params or {})
+        # sharders carry per-module-kind fused_params and constrain the
+        # default plan (ref: DMP(sharders=[EBCSharder(fused_params=...)]),
+        # model_parallel.py:43-47 + dlrm_main.py:524-535). Explicit
+        # fused_params override sharder-provided entries.
+        self._sharders = list(sharders or [])
+        merged: dict = {}
+        for sh in self._sharders:
+            merged.update(getattr(sh, "fused_params", {}) or {})
+        merged.update(fused_params or {})
+        fused_params = merged
         self.learning_rate = fused_params.pop("learning_rate", 0.01)
         # optional step -> lr schedule for the fused embedding optimizer
         # (the reference syncs lr into the TBE per step — set_learning_rate
@@ -280,9 +290,16 @@ class DistributedModelParallel:
                     EmbeddingCollectionSharder,
                 )
 
-                sharder = (
+                kind = (
+                    "ec" if isinstance(mod, EmbeddingCollection) else "ebc"
+                )
+                sharder = next(
+                    (s for s in self._sharders
+                     if getattr(s, "module_kind", None) == kind),
+                    None,
+                ) or (
                     EmbeddingCollectionSharder()
-                    if isinstance(mod, EmbeddingCollection)
+                    if kind == "ec"
                     else EmbeddingBagCollectionSharder()
                 )
                 module_plan = _default_plan(mod.tables, self.env, sharder)
