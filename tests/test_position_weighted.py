@@ -115,3 +115,121 @@ def test_position_weighted_module_attaches_weights():
     out = mod.apply(params, sb)
     assert out.weights.shape == (1, B, L)
     np.testing.assert_allclose(np.asarray(out.weights), np.asarray(out.mask()))
+
+
+class FpModel(nn.Module):
+    """FP-EBC (position-weighted POOLED path) + linear head."""
+
+    fpebc: nn.Module
+
+    @nn.compact
+    def __call__(self, sb, labels):
+        """Call Args: sb padded sparse batch; labels [B]. Returns
+        (loss, (loss, logits))."""
+        pooled = self.fpebc(sb).values  # [B, D]
+        logits = nn.Dense(1)(pooled)[:, 0]
+        y = labels.astype(logits.dtype)
+        loss = jnp.mean(
+            jnp.maximum(logits, 0) - logits * y
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+        return loss, (loss, logits)
+
+
+def test_fp_ebc_pooled_sharded_exact_grads(env):
+    """Position weights on the POOLED sharded path get EXACT gradients:
+    one DMP train step matches the unsharded autodiff golden step
+    (ref: grouped_position_weighted.py:52-77 feeding a weighted EBC)."""
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+        FeatureProcessedEmbeddingBagCollection,
+    )
+    from torchrec_tpu.ops.fused_update import EmbOptimType
+
+    LR_EMB_, LR_DENSE_ = 0.1, 0.05
+    fpebc = FeatureProcessedEmbeddingBagCollection(
+        embedding_bag_collection=EmbeddingBagCollection(
+            tables=(
+                EmbeddingBagConfig(
+                    num_embeddings=ROWS, embedding_dim=D, name="t0",
+                    feature_names=["f0"],
+                ),
+            ),
+            is_weighted=True,
+            max_feature_length=L,
+        ),
+        feature_processor=PositionWeightedModule(
+            max_feature_lengths=(("f0", L),)
+        ),
+    )
+    model = FpModel(fpebc=fpebc)
+    sb, labels = _batch(0)
+
+    # unsharded golden: full autodiff, SGD everywhere
+    params = model.init(jax.random.PRNGKey(0), sb, labels)["params"]
+    # non-trivial position weights so the weighted path is exercised
+    pw0 = jnp.asarray(np.linspace(0.5, 1.5, L, dtype=np.float32))
+    params["fpebc"]["feature_processor"]["position_weight_f0"] = pw0
+    (g_loss, (_, g_logits)), grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, sb, labels), has_aux=True
+    )(params)
+    g_pw = grads["fpebc"]["feature_processor"]["position_weight_f0"]
+    assert float(jnp.abs(g_pw).max()) > 1e-6  # the test is meaningful
+
+    dmp = DistributedModelParallel(
+        model,
+        env=env,
+        plan=ShardingPlan(
+            {"fpebc": {"t0": ParameterSharding(ShardingType.ROW_WISE)}}
+        ),
+        fused_optim=EmbOptimType.EXACT_SGD,
+        fused_params={"learning_rate": LR_EMB_},
+        dense_optimizer=optax.sgd(LR_DENSE_),
+    )
+    state = dmp.init(jax.random.PRNGKey(0), sb, labels)
+    # copy the golden params in
+    new_dense = dict(state.dense_params)
+    new_dense["fpebc"] = {
+        "feature_processor": jax.tree.map(
+            jnp.asarray, dict(params["fpebc"]["feature_processor"])
+        )
+    }
+    new_dense["Dense_0"] = jax.tree.map(jnp.asarray, dict(params["Dense_0"]))
+    state = state.replace(
+        dense_params=new_dense,
+        dense_opt=dmp.dense_optimizer.init(new_dense),
+    )
+    state = dmp.load_tables(
+        state,
+        {"fpebc": {"t0": np.asarray(
+            params["fpebc"]["embedding_bag_collection"]["t0"]
+        )}},
+    )
+
+    # forward parity
+    loss0, (_, logits0) = dmp.forward(state, sb, labels)
+    np.testing.assert_allclose(
+        np.asarray(logits0), np.asarray(g_logits), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(float(loss0), float(g_loss), rtol=1e-5)
+
+    # one train step each; every param must match the golden SGD step
+    step = dmp.make_train_step(donate=False)
+    new_state, loss, _ = step(state, sb, labels)
+    np.testing.assert_allclose(float(loss), float(g_loss), rtol=1e-5)
+
+    got_pw = np.asarray(
+        new_state.dense_params["fpebc"]["feature_processor"][
+            "position_weight_f0"
+        ]
+    )
+    np.testing.assert_allclose(
+        got_pw, np.asarray(pw0 - LR_DENSE_ * g_pw), rtol=1e-5, atol=1e-6
+    )
+    got_t0 = dmp.state_dict(new_state)["embeddings/fpebc"]["t0"]
+    ref_t0 = np.asarray(
+        params["fpebc"]["embedding_bag_collection"]["t0"]
+        - LR_EMB_ * grads["fpebc"]["embedding_bag_collection"]["t0"]
+    )
+    np.testing.assert_allclose(got_t0, ref_t0, rtol=1e-4, atol=1e-6)

@@ -10,4 +10,8 @@ from torchrec_tpu.modules.embedding_modules import (  # noqa: F401
     EmbeddingBagCollection,
     EmbeddingCollection,
 )
+from torchrec_tpu.modules.feature_processor import (  # noqa: F401
+    FeatureProcessedEmbeddingBagCollection,
+    PositionWeightedModule,
+)
 from torchrec_tpu.modules.mlp import MLP, Perceptron  # noqa: F401

@@ -17,6 +17,35 @@ import jax.numpy as jnp
 from torchrec_tpu.sparse import PaddedSparseBatch
 
 
+class FeatureProcessedEmbeddingBagCollection(nn.Module):
+    """EBC with a learned feature processor applied before pooling (ref:
+    torchrec fp_ebc pattern — GroupedPositionWeightedModule feeding a
+    weighted EBC, grouped_position_weighted.py:25-77).
+
+    Unsharded: plain composition, autodiff handles the processor grads.
+    Under DistributedModelParallel the processor params stay in the dense
+    (replicated) tree and receive EXACT gradients through the sharded
+    pooled lookup: pooling is linear in the per-sample weights, so DMP
+    chains `vjp(pooled, weights)` into `vjp(weights, processor params)`
+    (see dmp.py train step).
+    """
+
+    embedding_bag_collection: "nn.Module"
+    feature_processor: "nn.Module"
+
+    @property
+    def tables(self):
+        return self.embedding_bag_collection.tables
+
+    @property
+    def is_weighted(self) -> bool:
+        return True
+
+    @nn.compact
+    def __call__(self, features: PaddedSparseBatch):
+        return self.embedding_bag_collection(self.feature_processor(features))
+
+
 class PositionWeightedModule(nn.Module):
     """Learned position weights per feature (ref: feature_processor.py:29).
 

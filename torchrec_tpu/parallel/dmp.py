@@ -64,9 +64,17 @@ class InjectedEmbeddingBagCollection(nn.Module):
     length_per_key: Tuple[int, ...]
     tables: Tuple = ()
     is_weighted: bool = False
+    feature_processor: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(self, features: PaddedSparseBatch) -> KeyedTensor:
+        if self.feature_processor is not None:
+            # Creates the processor params inside the dense tree; the
+            # processed weights feed the sharded lookup OUTSIDE this graph
+            # (the DMP train step chains vjp(pooled, weights) into
+            # vjp(weights, params) for exact gradients), so the value
+            # itself is unused here.
+            _ = self.feature_processor(features)
         B = features.ids.shape[1]
         total = sum(self.length_per_key)
         pooled = self.variable(
@@ -113,8 +121,34 @@ def _swap_ebcs(
     Attribute paths match flax scope paths for field-declared submodules.
     """
     from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
+    from torchrec_tpu.modules.feature_processor import (
+        FeatureProcessedEmbeddingBagCollection,
+    )
 
     found: Dict[Tuple[str, ...], nn.Module] = {}
+    if isinstance(module, FeatureProcessedEmbeddingBagCollection):
+        from torchrec_tpu.modules.embedding_modules import (
+            embedding_names_by_table,
+        )
+
+        inner = module.embedding_bag_collection
+        enames: List[str] = []
+        dims: List[int] = []
+        for cfg, names in zip(
+            inner.tables, embedding_names_by_table(inner.tables)
+        ):
+            for n in names:
+                enames.append(n)
+                dims.append(cfg.embedding_dim)
+        stub = InjectedEmbeddingBagCollection(
+            keys=tuple(enames),
+            length_per_key=tuple(dims),
+            tables=tuple(inner.tables),
+            is_weighted=True,
+            feature_processor=module.feature_processor,
+        )
+        found[path] = module
+        return stub, found
     if isinstance(module, EmbeddingCollection):
         from torchrec_tpu.modules.embedding_modules import (
             embedding_names_by_table,
@@ -276,11 +310,20 @@ class DistributedModelParallel:
         self.sharded_ebcs: Dict[str, Any] = {}
         self._kinds: Dict[str, str] = {}  # "ebc" (pooled) | "ec" (sequence)
         self._paths: Dict[str, Tuple[str, ...]] = {}
+        self._fps: Dict[str, nn.Module] = {}  # key -> feature processor
         from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
+        from torchrec_tpu.modules.feature_processor import (
+            FeatureProcessedEmbeddingBagCollection,
+        )
         from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
 
         for path, mod in self._ebcs.items():
             key = "/".join(path) if path else "<root>"
+            if isinstance(mod, FeatureProcessedEmbeddingBagCollection):
+                # shard the inner EBC; the processor stays dense (its
+                # params live replicated in dense_params via the stub)
+                self._fps[key] = mod.feature_processor
+                mod = mod.embedding_bag_collection
             module_plan = None
             if plan is not None:
                 module_plan = plan.get_plan_for_module("/".join(path))
@@ -317,7 +360,7 @@ class DistributedModelParallel:
                     self.env,
                     mod.tables,
                     module_plan,
-                    is_weighted=mod.is_weighted,
+                    is_weighted=mod.is_weighted or key in self._fps,
                     optim=fused_optim,
                     optim_kwargs=fused_params,
                 )
@@ -400,13 +443,27 @@ class DistributedModelParallel:
                 return a
         raise ValueError("no PaddedSparseBatch argument found")
 
+    def _fp_weights(self, dense_params, key: str, sb):
+        """Run module `key`'s feature processor on its replicated dense
+        params and return the per-sample weights [F, B, L]."""
+        sub = dense_params
+        for p in self._paths[key]:
+            sub = sub[p]
+        return self._fps[key].apply(
+            {"params": sub["feature_processor"]}, sb
+        ).weights
+
     def forward(self, state: DMPState, *args):
         """Inference/eval forward (jit-compatible)."""
         sb = self._find_sparse_arg(args)
-        pooled = {
-            key: self._forward_values(state, key, sb)
-            for key in self.sharded_ebcs
-        }
+        pooled = {}
+        for key in self.sharded_ebcs:
+            sbk = sb
+            if key in self._fps:
+                sbk = sb.replace(
+                    weights=self._fp_weights(state.dense_params, key, sb)
+                )
+            pooled[key] = self._forward_values(state, key, sbk)
         return self.swapped.apply(
             {"params": state.dense_params, "injected": self._injected(pooled)},
             *args,
@@ -430,10 +487,32 @@ class DistributedModelParallel:
 
         def train_step(state: DMPState, *args):
             sb = self._find_sparse_arg(args)
-            pooled = {
-                key: self._forward_values(state, key, sb)
-                for key in self.sharded_ebcs
-            }
+            pooled = {}
+            sb_mod = {}  # per-module batch (FP modules carry live weights)
+            pool_vjps = {}
+            fp_vjps = {}
+            for key in self.sharded_ebcs:
+                if key in self._fps:
+                    # Pooling is LINEAR in the per-sample weights, so
+                    # chaining vjp(pooled, w) . vjp(w, dense_params) gives
+                    # the processor params their EXACT gradient even though
+                    # the sharded lookup runs outside the flax autodiff
+                    # region (closes the reference's position-weighted
+                    # pooled path, grouped_position_weighted.py:52-77).
+                    w, fp_vjps[key] = jax.vjp(
+                        lambda dp, key=key: self._fp_weights(dp, key, sb),
+                        state.dense_params,
+                    )
+                    pooled[key], pool_vjps[key] = jax.vjp(
+                        lambda ww, key=key: self._forward_values(
+                            state, key, sb.replace(weights=ww)
+                        ),
+                        w,
+                    )
+                    sb_mod[key] = sb.replace(weights=w)
+                else:
+                    pooled[key] = self._forward_values(state, key, sb)
+                    sb_mod[key] = sb
 
             def f(dense_params, injected_pooled):
                 out = self.swapped.apply(
@@ -453,13 +532,19 @@ class DistributedModelParallel:
                 f, argnums=(0, 1), has_aux=True
             )(state.dense_params, pooled)
 
+            # route pooled cotangents back into feature-processor params
+            for key, vjp_pool in pool_vjps.items():
+                (d_w,) = vjp_pool(d_pooled[key])
+                (dd,) = fp_vjps[key](d_w)
+                d_dense = jax.tree.map(jnp.add, d_dense, dd)
+
             updates, new_dense_opt = self.dense_optimizer.update(
                 d_dense, state.dense_opt, state.dense_params
             )
             new_dense = optax.apply_updates(state.dense_params, updates)
             new_emb = {
                 key: self._update_module(
-                    state.emb_states[key], key, sb, d_pooled[key],
+                    state.emb_states[key], key, sb_mod[key], d_pooled[key],
                     state.step,
                 )
                 for key in self.sharded_ebcs
