@@ -178,3 +178,132 @@ def test_uvm_ebc_matches_plain_ebc_training():
         )
     stats = uvm.cache_stats()
     assert stats["u0"]["misses"] > 0  # cache actually exercised
+
+
+def test_dmp_mixed_uvm_plan_golden_parity():
+    """A plan mixing a device table with a FUSED_UVM_CACHING table trains
+    through DistributedModelParallel: one EXACT_SGD step matches the
+    unsharded autodiff golden step for BOTH tables (ref: per-table
+    MANAGED_CACHING inside one TBE, batched_embedding_kernel.py:410-421)."""
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.ops.fused_update import EmbOptimType
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.parallel.types import ComputeKernel
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    B, L, D = 16, 2, 16
+    LR_EMB, LR_DENSE = 0.1, 0.05
+    tables = (
+        EmbeddingBagConfig(
+            num_embeddings=96, embedding_dim=D, name="t0",
+            feature_names=["f0"],
+        ),
+        EmbeddingBagConfig(
+            num_embeddings=200, embedding_dim=D, name="t1",
+            feature_names=["f1"],
+        ),
+    )
+
+    class M(nn.Module):
+        ebc: nn.Module
+
+        @nn.compact
+        def __call__(self, sb, labels):
+            """Call Args: sb padded sparse batch; labels [B]. Returns
+            (loss, (loss, logits))."""
+            logits = nn.Dense(1)(self.ebc(sb).values)[:, 0]
+            y = labels.astype(logits.dtype)
+            loss = jnp.mean(
+                jnp.maximum(logits, 0) - logits * y
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return loss, (loss, logits)
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        lengths = r.randint(0, L + 1, size=(2 * B,)).astype(np.int32)
+        rows = [96, 200]
+        vals = np.concatenate(
+            [
+                r.randint(0, rows[i // B], size=(lengths[i],))
+                for i in range(len(lengths))
+            ]
+            + [np.zeros((0,), np.int64)]
+        ).astype(np.int32)
+        sb = KeyedJaggedTensor.from_lengths(
+            ["f0", "f1"], jnp.asarray(vals), jnp.asarray(lengths)
+        ).to_padded(L)
+        labels = jnp.asarray((r.rand(B) > 0.5).astype(np.float32))
+        return sb, labels
+
+    model = M(ebc=EmbeddingBagCollection(tables=tables, max_feature_length=L))
+    sb, labels = batch(0)
+    params = model.init(jax.random.PRNGKey(0), sb, labels)["params"]
+    (g_loss, (_, g_logits)), grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, sb, labels), has_aux=True
+    )(params)
+
+    dmp = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        plan=ShardingPlan({"ebc": {
+            "t0": ParameterSharding(ShardingType.ROW_WISE),
+            "t1": ParameterSharding(
+                ShardingType.TABLE_WISE,
+                compute_kernel=ComputeKernel.FUSED_UVM_CACHING,
+                ranks=[0],
+            ),
+        }}),
+        fused_optim=EmbOptimType.EXACT_SGD,
+        fused_params={"learning_rate": LR_EMB},
+        dense_optimizer=optax.sgd(LR_DENSE),
+    )
+    state = dmp.init(jax.random.PRNGKey(1), sb, labels)
+    new_dense = dict(state.dense_params)
+    new_dense["Dense_0"] = jax.tree.map(jnp.asarray, dict(params["Dense_0"]))
+    state = state.replace(
+        dense_params=new_dense,
+        dense_opt=dmp.dense_optimizer.init(new_dense),
+    )
+    state = dmp.load_tables(
+        state,
+        {"ebc": {k: np.asarray(params["ebc"][k]) for k in ("t0", "t1")}},
+    )
+
+    # forward parity (host-staged UVM lookup + jitted device lookup)
+    loss0, (_, logits0) = dmp.forward(state, sb, labels)
+    np.testing.assert_allclose(
+        np.asarray(logits0), np.asarray(g_logits), rtol=1e-4, atol=1e-5
+    )
+
+    # one train step: both tables must match the golden SGD update
+    step = dmp.make_train_step(donate=False)
+    new_state, loss, _ = step(state, sb, labels)
+    np.testing.assert_allclose(float(loss), float(g_loss), rtol=1e-5)
+    got = dmp.state_dict(new_state)["embeddings/ebc"]
+    for name in ("t0", "t1"):
+        np.testing.assert_allclose(
+            got[name],
+            np.asarray(params["ebc"][name] - LR_EMB * grads["ebc"][name]),
+            rtol=1e-4, atol=1e-6, err_msg=name,
+        )
+
+    # keeps training: a few more steps decrease the loss, cache gets hits
+    losses = [float(loss)]
+    for i in range(12):
+        s2, l2 = batch(i % 3)
+        new_state, ls, _ = step(new_state, s2, l2)
+        losses.append(float(ls))
+    assert losses[-1] < losses[0], losses
+    stats = dmp._uvm_mods["ebc"].cache_stats()["t1"]
+    assert stats["hits"] > 0

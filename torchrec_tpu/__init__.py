@@ -38,6 +38,10 @@ from torchrec_tpu.modules.embedding_modules import (  # noqa: F401
     EmbeddingBagCollection,
     EmbeddingCollection,
 )
+from torchrec_tpu.modules.feature_processor import (  # noqa: F401
+    FeatureProcessedEmbeddingBagCollection,
+    PositionWeightedModule,
+)
 
 
 def __getattr__(name):

@@ -35,6 +35,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import freeze, unfreeze
@@ -311,6 +312,8 @@ class DistributedModelParallel:
         self._kinds: Dict[str, str] = {}  # "ebc" (pooled) | "ec" (sequence)
         self._paths: Dict[str, Tuple[str, ...]] = {}
         self._fps: Dict[str, nn.Module] = {}  # key -> feature processor
+        self._uvm_split: Dict[str, dict] = {}  # key -> UVM partition info
+        self._uvm_mods: Dict[str, Any] = {}  # key -> UvmEBC (built at init)
         from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
         from torchrec_tpu.modules.feature_processor import (
             FeatureProcessedEmbeddingBagCollection,
@@ -356,17 +359,118 @@ class DistributedModelParallel:
                 )
                 self._kinds[key] = "ec"
             else:
-                self.sharded_ebcs[key] = ShardedEmbeddingBagCollection(
-                    self.env,
-                    mod.tables,
-                    module_plan,
-                    is_weighted=mod.is_weighted or key in self._fps,
-                    optim=fused_optim,
-                    optim_kwargs=fused_params,
+                # FUSED_UVM_CACHING tables are host-offloaded: split them
+                # out to a host-driven UvmEmbeddingBagCollection; the rest
+                # stay in the jitted sharded EBC (ref: per-table
+                # EmbeddingLocation.MANAGED_CACHING inside one TBE,
+                # batched_embedding_kernel.py:410-421).
+                from torchrec_tpu.parallel.types import ComputeKernel
+
+                uvm_names = {
+                    t.name
+                    for t in mod.tables
+                    if getattr(
+                        module_plan.get(t.name), "compute_kernel", None
+                    )
+                    is ComputeKernel.FUSED_UVM_CACHING
+                }
+                dev_tables = tuple(
+                    t for t in mod.tables if t.name not in uvm_names
+                )
+                if uvm_names:
+                    if key in self._fps:
+                        raise NotImplementedError(
+                            "FeatureProcessedEmbeddingBagCollection with "
+                            "FUSED_UVM_CACHING tables is not supported"
+                        )
+                    uvm_tables = tuple(
+                        t for t in mod.tables if t.name in uvm_names
+                    )
+                    self._uvm_split[key] = self._build_uvm_split(
+                        mod.tables, dev_tables, uvm_tables,
+                        fused_optim, dict(fused_params),
+                    )
+                self.sharded_ebcs[key] = (
+                    ShardedEmbeddingBagCollection(
+                        self.env,
+                        dev_tables,
+                        module_plan,
+                        is_weighted=mod.is_weighted or key in self._fps,
+                        optim=fused_optim,
+                        optim_kwargs=fused_params,
+                    )
+                    if dev_tables
+                    else None
                 )
                 self._kinds[key] = "ebc"
             self._paths[key] = path
         self.dense_optimizer = dense_optimizer or optax.sgd(self.learning_rate)
+
+    @staticmethod
+    def _build_uvm_split(tables, dev_tables, uvm_tables, optim, optim_kwargs):
+        """Column bookkeeping for a module with host-offloaded tables.
+
+        The stub injects the FULL [B, sum D] pooled array in the module's
+        declared feature order; device and UVM parts are computed
+        separately and interleaved back with a static column permutation.
+        """
+        col_id = []  # (table, feature_idx) per output column block
+        dims = []
+        for t in tables:
+            for j in range(len(t.feature_names)):
+                col_id.append((t.name, j))
+                dims.append(t.embedding_dim)
+        starts: Dict[Tuple[str, int], int] = {}
+        off = 0
+        for ts in (dev_tables, uvm_tables):
+            for t in ts:
+                for j in range(len(t.feature_names)):
+                    starts[(t.name, j)] = off
+                    off += t.embedding_dim
+        perm = np.concatenate(
+            [
+                np.arange(starts[cid], starts[cid] + d)
+                for cid, d in zip(col_id, dims)
+            ]
+        ).astype(np.int32)
+        inv_perm = np.argsort(perm).astype(np.int32)
+        dev_width = sum(
+            t.embedding_dim * len(t.feature_names) for t in dev_tables
+        )
+        return {
+            "dev_tables": dev_tables,
+            "uvm_tables": uvm_tables,
+            "perm": jnp.asarray(perm),
+            "inv_perm": jnp.asarray(inv_perm),
+            "dev_width": dev_width,
+            "optim": optim,
+            "optim_kwargs": optim_kwargs,
+        }
+
+    def _merge_uvm(self, key: str, dev_values, uvm_values):
+        """Interleave device + UVM pooled columns into module order."""
+        sp = self._uvm_split[key]
+        if dev_values is None:
+            B = uvm_values.shape[0]
+            dev_values = jnp.zeros((B, 0), uvm_values.dtype)
+        return jnp.concatenate(
+            [dev_values, uvm_values.astype(dev_values.dtype)], axis=1
+        )[:, sp["perm"]]
+
+    def _split_uvm_grad(self, key: str, d_full):
+        """Inverse of _merge_uvm on the cotangent: (d_device, d_uvm)."""
+        sp = self._uvm_split[key]
+        d_concat = d_full[:, sp["inv_perm"]]
+        return d_concat[:, : sp["dev_width"]], d_concat[:, sp["dev_width"]:]
+
+    def _uvm_forward_values(self, key: str, sb):
+        """Host-driven UVM lookup -> [B, sum D_uvm] device array."""
+        return self._uvm_mods[key].forward(sb).values
+
+    def _host_lr(self, state: DMPState):
+        if self.fused_lr_schedule is not None:
+            return self.fused_lr_schedule(state.step)
+        return self.learning_rate
 
     # -- state -------------------------------------------------------------
 
@@ -380,9 +484,32 @@ class DistributedModelParallel:
             lambda x: jax.device_put(x, rep), dense_params
         )
         emb_states = {
-            key: ebc.init(jax.random.fold_in(rng, i + 1))
+            key: ebc.init(jax.random.fold_in(rng, i + 1)) if ebc else ()
             for i, (key, ebc) in enumerate(self.sharded_ebcs.items())
         }
+        # host-offloaded (UVM) tables: host-side init, state lives in the
+        # UvmEmbeddingBagCollection (the analogue of optimizer/cache state
+        # living inside the fbgemm TBE module, not the train-state pytree)
+        for i, (key, sp) in enumerate(self._uvm_split.items()):
+            from torchrec_tpu.parallel.uvm_ebc import UvmEmbeddingBagCollection
+
+            weights = {}
+            for j, t in enumerate(sp["uvm_tables"]):
+                k = jax.random.fold_in(rng, 90_001 + 131 * i + j)
+                weights[t.name] = np.asarray(
+                    jax.random.uniform(
+                        k,
+                        (t.num_embeddings, t.embedding_dim),
+                        minval=t.get_weight_init_min(),
+                        maxval=t.get_weight_init_max(),
+                    )
+                )
+            self._uvm_mods[key] = UvmEmbeddingBagCollection(
+                sp["uvm_tables"],
+                weights,
+                optim=sp["optim"],
+                optim_kwargs=sp["optim_kwargs"],
+            )
         state = DMPState(
             dense_params=dense_params,
             dense_opt=self.dense_optimizer.init(dense_params),
@@ -454,7 +581,8 @@ class DistributedModelParallel:
         ).weights
 
     def forward(self, state: DMPState, *args):
-        """Inference/eval forward (jit-compatible)."""
+        """Inference/eval forward (jit-compatible; host-driven staging runs
+        first when the plan holds FUSED_UVM_CACHING tables)."""
         sb = self._find_sparse_arg(args)
         pooled = {}
         for key in self.sharded_ebcs:
@@ -463,7 +591,17 @@ class DistributedModelParallel:
                 sbk = sb.replace(
                     weights=self._fp_weights(state.dense_params, key, sb)
                 )
-            pooled[key] = self._forward_values(state, key, sbk)
+            if key in self._uvm_split:
+                dev = (
+                    self._forward_values(state, key, sbk)
+                    if self.sharded_ebcs[key] is not None
+                    else None
+                )
+                pooled[key] = self._merge_uvm(
+                    key, dev, self._uvm_forward_values(key, sbk)
+                )
+            else:
+                pooled[key] = self._forward_values(state, key, sbk)
         return self.swapped.apply(
             {"params": state.dense_params, "injected": self._injected(pooled)},
             *args,
@@ -485,14 +623,26 @@ class DistributedModelParallel:
         on remote-attached TPUs).
         """
 
-        def train_step(state: DMPState, *args):
+        def train_step_core(state: DMPState, uvm_vals, *args):
+            """Traceable core; uvm_vals maps UVM module keys to their
+            host-staged pooled [B, sum D_uvm] arrays (empty when no
+            FUSED_UVM_CACHING tables are planned). Returns the UVM slice
+            of the pooled cotangent for the host-side update."""
             sb = self._find_sparse_arg(args)
             pooled = {}
             sb_mod = {}  # per-module batch (FP modules carry live weights)
             pool_vjps = {}
             fp_vjps = {}
             for key in self.sharded_ebcs:
-                if key in self._fps:
+                if key in self._uvm_split:
+                    dev = (
+                        self._forward_values(state, key, sb)
+                        if self.sharded_ebcs[key] is not None
+                        else None
+                    )
+                    pooled[key] = self._merge_uvm(key, dev, uvm_vals[key])
+                    sb_mod[key] = sb
+                elif key in self._fps:
                     # Pooling is LINEAR in the per-sample weights, so
                     # chaining vjp(pooled, w) . vjp(w, dense_params) gives
                     # the processor params their EXACT gradient even though
@@ -542,20 +692,66 @@ class DistributedModelParallel:
                 d_dense, state.dense_opt, state.dense_params
             )
             new_dense = optax.apply_updates(state.dense_params, updates)
-            new_emb = {
-                key: self._update_module(
-                    state.emb_states[key], key, sb_mod[key], d_pooled[key],
-                    state.step,
-                )
-                for key in self.sharded_ebcs
-            }
+            new_emb = {}
+            d_uvm_out = {}
+            for key in self.sharded_ebcs:
+                if key in self._uvm_split:
+                    d_dev, d_uvm = self._split_uvm_grad(key, d_pooled[key])
+                    d_uvm_out[key] = d_uvm
+                    new_emb[key] = (
+                        self._update_module(
+                            state.emb_states[key], key, sb_mod[key], d_dev,
+                            state.step,
+                        )
+                        if self.sharded_ebcs[key] is not None
+                        else ()
+                    )
+                else:
+                    new_emb[key] = self._update_module(
+                        state.emb_states[key], key, sb_mod[key],
+                        d_pooled[key], state.step,
+                    )
             new_state = DMPState(
                 dense_params=new_dense,
                 dense_opt=new_dense_opt,
                 emb_states=new_emb,
                 step=state.step + 1,
             )
-            return new_state, loss, aux
+            return new_state, loss, aux, d_uvm_out
+
+        if self._uvm_split:
+            # Host-orchestrated step: stage UVM rows (host) -> ONE jitted
+            # device step -> host-side UVM table update. This is the price
+            # UVM pays on any architecture (CUDA hides the same staging in
+            # page faults); everything device-side stays one executable.
+            if not jit:
+                raise ValueError(
+                    "jit=False is not supported with FUSED_UVM_CACHING "
+                    "tables: the step is host-orchestrated"
+                )
+            inner = (
+                jax.jit(train_step_core, donate_argnums=(0,))
+                if donate
+                else jax.jit(train_step_core)
+            )
+            uvm_keys = tuple(self._uvm_split)
+
+            def uvm_step(state: DMPState, *args):
+                sb = self._find_sparse_arg(args)
+                uvm_vals = {
+                    k: self._uvm_forward_values(k, sb) for k in uvm_keys
+                }
+                lr = self._host_lr(state)
+                new_state, loss, aux, d_uvm = inner(state, uvm_vals, *args)
+                for k in uvm_keys:
+                    self._uvm_mods[k].update(sb, d_uvm[k], lr)
+                return new_state, loss, aux
+
+            return uvm_step
+
+        def train_step(state: DMPState, *args):
+            out = train_step_core(state, {}, *args)
+            return out[0], out[1], out[2]
 
         if not jit:
             return train_step
@@ -570,9 +766,12 @@ class DistributedModelParallel:
         by key (ref: model_parallel.py:392-456)."""
         out: Dict[str, Any] = {"dense": state.dense_params}
         for key, ebc in self.sharded_ebcs.items():
-            out[f"embeddings/{key}"] = ebc.unshard_to_dense(
-                state.emb_states[key]
+            dense = (
+                ebc.unshard_to_dense(state.emb_states[key]) if ebc else {}
             )
+            if key in self._uvm_mods:
+                dense = {**dense, **self._uvm_mods[key].state_dict()}
+            out[f"embeddings/{key}"] = dense
         return out
 
     def load_tables(
@@ -581,5 +780,42 @@ class DistributedModelParallel:
         """Load unsharded per-table weights (resharding on load)."""
         new_emb = dict(state.emb_states)
         for key, dense in tables.items():
-            new_emb[key] = self.sharded_ebcs[key].shard_from_dense(dense)
+            uvm_names = (
+                {t.name for t in self._uvm_split[key]["uvm_tables"]}
+                if key in self._uvm_split
+                else set()
+            )
+            if uvm_names & set(dense):
+                if key not in self._uvm_mods:
+                    raise ValueError(
+                        "call init() before load_tables() when the plan "
+                        "holds FUSED_UVM_CACHING tables"
+                    )
+                from torchrec_tpu.parallel.uvm_ebc import (
+                    UvmEmbeddingBagCollection,
+                )
+
+                # rebuild with the loaded weights: fresh cache + optimizer
+                # state (same semantics as cross-plan checkpoint load)
+                sp = self._uvm_split[key]
+                weights = self._uvm_mods[key].state_dict()
+                weights.update(
+                    {
+                        n: np.asarray(dense[n], np.float32)
+                        for n in uvm_names & set(dense)
+                    }
+                )
+                self._uvm_mods[key] = UvmEmbeddingBagCollection(
+                    sp["uvm_tables"],
+                    weights,
+                    optim=sp["optim"],
+                    optim_kwargs=sp["optim_kwargs"],
+                )
+            dev_dense = {
+                k: v for k, v in dense.items() if k not in uvm_names
+            }
+            if dev_dense:
+                new_emb[key] = self.sharded_ebcs[key].shard_from_dense(
+                    dev_dense
+                )
         return state.replace(emb_states=new_emb)
