@@ -307,3 +307,81 @@ def test_dmp_mixed_uvm_plan_golden_parity():
     assert losses[-1] < losses[0], losses
     stats = dmp._uvm_mods["ebc"].cache_stats()["t1"]
     assert stats["hits"] > 0
+
+
+def test_dmp_uvm_through_train_pipeline():
+    """The host-orchestrated UVM step composes with the prefetching
+    TrainPipeline: pipelined losses == direct-loop losses (ref: UVM
+    tables trained through TrainPipelineSparseDist the same way)."""
+    import jax
+    import optax
+
+    from torchrec_tpu.datasets.random import RandomRecDataset
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.parallel.train_pipeline import TrainPipeline
+    from torchrec_tpu.parallel.types import ComputeKernel
+
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=128, embedding_dim=16, name=f"t{i}",
+                           feature_names=[f"f{i}"]) for i in range(2)
+    )
+    model = DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(
+            tables=tables, max_feature_length=1),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+        over_arch_layer_sizes=(8, 1)))
+
+    def make_dmp():
+        return DistributedModelParallel(
+            model, env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+                "t0": ParameterSharding(ShardingType.ROW_WISE),
+                "t1": ParameterSharding(
+                    ShardingType.TABLE_WISE,
+                    compute_kernel=ComputeKernel.FUSED_UVM_CACHING,
+                    ranks=[0],
+                )}}),
+            dense_optimizer=optax.sgd(0.1),
+        )
+
+    def loader():
+        return RandomRecDataset(
+            keys=["f0", "f1"], batch_size=16, hash_sizes=[128, 128],
+            ids_per_feature=1, num_dense=4, num_batches=5, manual_seed=7,
+        )
+
+    def args_of(b):
+        return (b.dense_features, b.sparse_features, b.labels)
+
+    first = next(iter(loader()))
+    dmp1 = make_dmp()
+    state1 = dmp1.init(jax.random.PRNGKey(0), *args_of(first))
+    step1 = dmp1.make_train_step(donate=False)
+    direct = []
+    for b in loader():
+        state1, loss, _ = step1(state1, *args_of(b))
+        direct.append(float(loss))
+
+    dmp2 = make_dmp()
+    state2 = dmp2.init(jax.random.PRNGKey(0), *args_of(first))
+    step2 = dmp2.make_train_step(donate=False)
+    pipe = TrainPipeline(lambda st, b: step2(st, *args_of(b)), state2)
+    it = iter(loader())
+    piped = []
+    while True:
+        try:
+            loss, _ = pipe.progress(it)
+        except StopIteration:
+            break
+        piped.append(float(loss))
+
+    np.testing.assert_allclose(piped, direct, rtol=1e-6)
+    assert dmp2._uvm_mods["dlrm/embedding_bag_collection"].cache_stats()
