@@ -385,3 +385,104 @@ def test_dmp_uvm_through_train_pipeline():
 
     np.testing.assert_allclose(piped, direct, rtol=1e-6)
     assert dmp2._uvm_mods["dlrm/embedding_bag_collection"].cache_stats()
+
+
+def test_dmp_all_uvm_module_exact_momentum_resume():
+    """A module whose EVERY table is FUSED_UVM_CACHING (no device shard at
+    all) trains through DMP, and rowwise-Adagrad resume through
+    state_dict -> load_tables(uvm_momentum=...) is EXACT: the restored
+    run produces bit-identical tables to the uninterrupted run."""
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.ops.fused_update import EmbOptimType
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.parallel.types import ComputeKernel
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    B, L, D = 16, 2, 16
+    tables = (
+        EmbeddingBagConfig(
+            num_embeddings=150, embedding_dim=D, name="t0",
+            feature_names=["f0"],
+        ),
+    )
+
+    class M(nn.Module):
+        ebc: nn.Module
+
+        @nn.compact
+        def __call__(self, sb, labels):
+            """Call Args: sb padded sparse batch; labels [B]. Returns
+            (loss, (loss, logits))."""
+            logits = nn.Dense(1)(self.ebc(sb).values)[:, 0]
+            y = labels.astype(logits.dtype)
+            loss = jnp.mean(
+                jnp.maximum(logits, 0) - logits * y
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return loss, (loss, logits)
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        vals = r.randint(0, 150, size=(B * L,)).astype(np.int32)
+        sb = KeyedJaggedTensor.from_lengths(
+            ["f0"], jnp.asarray(vals),
+            jnp.asarray(np.full((B,), L, np.int32)),
+        ).to_padded(L)
+        return sb, jnp.asarray((vals[:B] % 2).astype(np.float32))
+
+    def make_dmp():
+        return DistributedModelParallel(
+            M(ebc=EmbeddingBagCollection(tables=tables, max_feature_length=L)),
+            env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"ebc": {"t0": ParameterSharding(
+                ShardingType.TABLE_WISE,
+                compute_kernel=ComputeKernel.FUSED_UVM_CACHING,
+                ranks=[0],
+            )}}),
+            fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+            fused_params={"learning_rate": 0.1},
+            dense_optimizer=optax.sgd(0.05),  # stateless: exact resume
+        )
+
+    sb0, lab0 = batch(0)
+    dmp1 = make_dmp()
+    state1 = dmp1.init(jax.random.PRNGKey(0), sb0, lab0)
+    step1 = dmp1.make_train_step(donate=False)
+    for i in range(3):
+        state1, _, _ = step1(state1, *batch(i))
+    snap = dmp1.state_dict(state1)
+    assert "uvm_momentum/ebc" in snap
+    assert float(np.abs(snap["uvm_momentum/ebc"]["t0"]).max()) > 0
+    # uninterrupted continuation -> golden
+    for i in range(3, 5):
+        state1, _, _ = step1(state1, *batch(i))
+    golden = dmp1.state_dict(state1)["embeddings/ebc"]["t0"]
+
+    # fresh DMP, restore, continue the same schedule
+    dmp2 = make_dmp()
+    state2 = dmp2.init(jax.random.PRNGKey(5), sb0, lab0)
+    nd = dict(state2.dense_params)
+    nd["Dense_0"] = jax.tree.map(jnp.asarray, dict(snap["dense"]["Dense_0"]))
+    state2 = state2.replace(
+        dense_params=nd, dense_opt=dmp2.dense_optimizer.init(nd)
+    )
+    state2 = dmp2.load_tables(
+        state2,
+        {"ebc": dict(snap["embeddings/ebc"])},
+        uvm_momentum={"ebc": snap["uvm_momentum/ebc"]},
+    )
+    step2 = dmp2.make_train_step(donate=False)
+    for i in range(3, 5):
+        state2, _, _ = step2(state2, *batch(i))
+    got = dmp2.state_dict(state2)["embeddings/ebc"]["t0"]
+    np.testing.assert_array_equal(got, golden)

@@ -177,6 +177,16 @@ class UvmCachedEmbedding:
             self._sync_back(occ)
             self.dirty[occ] = False
 
+    def invalidate(self) -> None:
+        """Flush then drop all residency — required after mutating the
+        host table/momentum directly, else resident rows go stale."""
+        self.flush()
+        self.slot_of.clear()
+        self.row_in_slot[:] = -1
+        self.dirty[:] = False
+        self.last_use[:] = 0
+        self._free = list(range(self.C - 1, -1, -1))
+
     def _sync_back(self, slots: np.ndarray) -> None:
         rows = np.asarray(self.cache_w[jnp.asarray(slots)])
         self.table[self.row_in_slot[slots]] = rows

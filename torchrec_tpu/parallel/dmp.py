@@ -771,13 +771,23 @@ class DistributedModelParallel:
             )
             if key in self._uvm_mods:
                 dense = {**dense, **self._uvm_mods[key].state_dict()}
+                mom = self._uvm_mods[key].momentum_dict()
+                if mom:
+                    out[f"uvm_momentum/{key}"] = mom
             out[f"embeddings/{key}"] = dense
         return out
 
     def load_tables(
-        self, state: DMPState, tables: Dict[str, Dict[str, Any]]
+        self,
+        state: DMPState,
+        tables: Dict[str, Dict[str, Any]],
+        uvm_momentum: Optional[Dict[str, Dict[str, Any]]] = None,
     ) -> DMPState:
-        """Load unsharded per-table weights (resharding on load)."""
+        """Load unsharded per-table weights (resharding on load).
+
+        uvm_momentum: optional {module key -> {table -> momentum}} from
+        `state_dict()['uvm_momentum/<key>']` for exact host-offloaded
+        optimizer resume (weights-only load restarts momentum fresh)."""
         new_emb = dict(state.emb_states)
         for key, dense in tables.items():
             uvm_names = (
@@ -811,6 +821,8 @@ class DistributedModelParallel:
                     optim=sp["optim"],
                     optim_kwargs=sp["optim_kwargs"],
                 )
+                if uvm_momentum and key in uvm_momentum:
+                    self._uvm_mods[key].load_momentum(uvm_momentum[key])
             dev_dense = {
                 k: v for k, v in dense.items() if k not in uvm_names
             }

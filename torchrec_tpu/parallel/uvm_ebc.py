@@ -139,8 +139,33 @@ class UvmEmbeddingBagCollection:
             uvm.flush()
 
     def state_dict(self) -> Dict[str, np.ndarray]:
+        # copies: the host table keeps mutating as training continues
         self.flush()
-        return {t.name: self._uvm[t.name].table for t in self.tables}
+        return {
+            t.name: np.array(self._uvm[t.name].table, copy=True)
+            for t in self.tables
+        }
+
+    def momentum_dict(self) -> Dict[str, np.ndarray]:
+        """Flushed per-table optimizer momentum (rowwise-Adagrad [R];
+        empty for SGD) — the analogue of fbgemm split_optimizer_states
+        (batched_embedding_kernel.py:204-246)."""
+        self.flush()
+        return {
+            t.name: np.array(self._uvm[t.name].host_momentum, copy=True)
+            for t in self.tables
+            if self._uvm[t.name].host_momentum is not None
+        }
+
+    def load_momentum(self, momentum: Dict[str, np.ndarray]) -> None:
+        """Restore host momentum (exact optimizer resume). Invalidates the
+        row cache so resident rows can't serve stale momentum."""
+        for name, m in momentum.items():
+            uvm = self._uvm[name]
+            if uvm.host_momentum is None:
+                raise ValueError(f"table {name} has no momentum state")
+            uvm.invalidate()
+            uvm.host_momentum[:] = np.asarray(m, np.float32)
 
     def cache_stats(self) -> Dict[str, Dict[str, int]]:
         return {
