@@ -191,9 +191,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     def batch_args(batch):
         return (batch.dense_features, batch.sparse_features, batch.labels)
 
-    eval_fwd = jax.jit(
-        lambda state, batch: dmp.forward(state, *batch_args(batch))
-    )
+    # make_eval_fn keeps UVM host staging outside the jitted region, so
+    # eval works on plans that offload tables to host RAM
+    _eval_inner = dmp.make_eval_fn()
+    eval_fwd = lambda state, batch: _eval_inner(state, *batch_args(batch))
 
     first = next(iter(make_loader("train")))
     state = dmp.init(jax.random.PRNGKey(args.seed), *batch_args(first))

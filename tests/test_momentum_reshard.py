@@ -1,0 +1,220 @@
+"""Cross-plan fused-momentum resharding (ref: momenta are row-wise
+ShardedTensors reassembled by table FQN and loadable under a different
+plan, batched_embedding_kernel.py:71-118,204-246).
+
+The canonical forms (strategies.py unshard_opt_to_tables):
+  full momenta  [R, D] -> exact under ANY plan/world-size change
+  rowwise       [R]    -> exact across row-space plans (DP/RW/TW/TWRW)
+  CW rowwise    [S, R] -> exact same-S; summed (exact total) to row space
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from torchrec_tpu.models import DLRM, DLRMTrain
+from torchrec_tpu.modules import EmbeddingBagConfig, EmbeddingBagCollection
+from torchrec_tpu.ops.fused_update import EmbOptimType
+from torchrec_tpu.parallel import (
+    DistributedModelParallel,
+    ParameterSharding,
+    ShardingEnv,
+    ShardingPlan,
+    ShardingType,
+)
+from torchrec_tpu.sparse import KeyedJaggedTensor
+from torchrec_tpu.utils.checkpoint import load_reshardable, save_reshardable
+
+EBC_PATH = "dlrm/embedding_bag_collection"
+
+
+def _model():
+    tables = tuple(
+        EmbeddingBagConfig(
+            num_embeddings=64, embedding_dim=16, name=f"t{i}",
+            feature_names=[f"f{i}"],
+        )
+        for i in range(2)
+    )
+    return DLRMTrain(dlrm=DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(
+            tables=tables, max_feature_length=1
+        ),
+        dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+        over_arch_layer_sizes=(8, 1),
+    ))
+
+
+def _batch(seed, B=16):
+    rng = np.random.RandomState(seed)
+    sb = KeyedJaggedTensor.from_lengths(
+        ["f0", "f1"],
+        jnp.asarray(rng.randint(0, 64, 2 * B), jnp.int32),
+        jnp.asarray(np.ones(2 * B, np.int32)),
+    ).to_padded(1)
+    dense = jnp.asarray(rng.randn(B, 4).astype(np.float32))
+    labels = jnp.asarray((rng.rand(B) > 0.5).astype(np.float32))
+    return dense, sb, labels
+
+
+def _dmp(stype, n_dev, optim, optim_kwargs=None):
+    env = ShardingEnv.from_devices(jax.devices()[:n_dev])
+    return DistributedModelParallel(
+        _model(), env=env,
+        plan=ShardingPlan({EBC_PATH: {
+            "t0": ParameterSharding(stype),
+            "t1": ParameterSharding(stype),
+        }}),
+        fused_optim=optim,
+        fused_params=dict(optim_kwargs or {}, learning_rate=0.1),
+        dense_optimizer=optax.sgd(0.1),
+    )
+
+
+def _train(dmp, steps, seed0=0):
+    state = dmp.init(jax.random.PRNGKey(0), *_batch(seed0))
+    step = dmp.make_train_step(donate=False)
+    for i in range(steps):
+        state, _, _ = step(state, *_batch(seed0 + i))
+    return state
+
+
+def _resume_and_compare(src_stype, src_n, dst_stype, dst_n, optim,
+                        tmp_path, rtol=0.0, optim_kwargs=None):
+    """Train on the source plan, checkpoint, resume on BOTH the source plan
+    (control) and the destination plan, run one identical step each, and
+    compare the unsharded dense weights."""
+    dmp = _dmp(src_stype, src_n, optim, optim_kwargs)
+    state = _train(dmp, steps=2)
+    path = str(tmp_path / "ck.npz")
+    save_reshardable(path, dmp, state)
+
+    results = {}
+    for tag, stype, n in (
+        ("control", src_stype, src_n), ("reshard", dst_stype, dst_n)
+    ):
+        d = _dmp(stype, n, optim, optim_kwargs)
+        s = d.init(jax.random.PRNGKey(7), *_batch(0))
+        s = load_reshardable(path, d, s)
+        step = d.make_train_step(donate=False)
+        s, _, _ = step(s, *_batch(99))
+        results[tag] = {
+            k: np.asarray(v, np.float32)
+            for k, v in d.sharded_ebcs[EBC_PATH].unshard_to_dense(
+                s.emb_states[EBC_PATH]
+            ).items()
+        }
+    for name in results["control"]:
+        np.testing.assert_allclose(
+            results["reshard"][name], results["control"][name],
+            rtol=rtol, atol=0,
+            err_msg=f"table {name} diverged after {src_stype}->{dst_stype}",
+        )
+
+
+def test_rowwise_adagrad_rw2_to_tw4_step_parity(tmp_path):
+    """Rowwise-Adagrad momenta saved from a 2-device RW plan resume on a
+    4-device TW plan: the next training step matches the same-plan control
+    (row space is plan-independent)."""
+    _resume_and_compare(
+        ShardingType.ROW_WISE, 2, ShardingType.TABLE_WISE, 4,
+        EmbOptimType.ROWWISE_ADAGRAD, tmp_path, rtol=1e-6,
+    )
+
+
+def test_rowwise_adagrad_tw2_to_rw8_step_parity(tmp_path):
+    _resume_and_compare(
+        ShardingType.TABLE_WISE, 2, ShardingType.ROW_WISE, 8,
+        EmbOptimType.ROWWISE_ADAGRAD, tmp_path, rtol=1e-6,
+    )
+
+
+def test_adam_rw2_to_cw4_step_parity(tmp_path):
+    """Adam's full [R, D] momenta reshard exactly onto a COLUMN_WISE plan
+    (elementwise optimizer => CW semantics identical), the VERDICT r1
+    target case: train 2-dev RW -> resume 4-dev CW."""
+    _resume_and_compare(
+        ShardingType.ROW_WISE, 2, ShardingType.COLUMN_WISE, 4,
+        EmbOptimType.ADAM, tmp_path, rtol=1e-6,
+        optim_kwargs={"beta1": 0.9, "beta2": 0.999},
+    )
+
+
+def test_cw_rowwise_momentum_sums_to_row_space(tmp_path):
+    """CW keeps one rowwise accumulator per column shard (virtual tables);
+    moving to row space sums them — exactly the full-row sum-of-squares a
+    non-CW plan would hold."""
+    dmp = _dmp(ShardingType.COLUMN_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
+    state = _train(dmp, steps=2)
+    ebc = dmp.sharded_ebcs[EBC_PATH]
+    (strat,) = ebc.strategies
+    per = strat.unshard_opt_to_tables(state.emb_states[EBC_PATH][0].opt)
+    assert per["t0"]["m1__cwrow"].shape == (4, 64)
+
+    path = str(tmp_path / "ck.npz")
+    save_reshardable(path, dmp, state)
+    dmp2 = _dmp(ShardingType.ROW_WISE, 8, EmbOptimType.ROWWISE_ADAGRAD)
+    s2 = dmp2.init(jax.random.PRNGKey(7), *_batch(0))
+    s2 = load_reshardable(path, dmp2, s2)
+    (strat2,) = dmp2.sharded_ebcs[EBC_PATH].strategies
+    per2 = strat2.unshard_opt_to_tables(s2.emb_states[EBC_PATH][0].opt)
+    for t in ("t0", "t1"):
+        np.testing.assert_allclose(
+            per2[t]["m1__row"], per[t]["m1__cwrow"].sum(axis=0), rtol=1e-6
+        )
+    assert int(per2["t0"]["step"]) == 2
+
+
+def test_twcw_rowwise_momentum_same_shardcount_exact(tmp_path):
+    """CW(Lc=4) -> TWCW with local_size 4: the column-shard count matches,
+    so per-shard rowwise momenta transfer exactly (no sum/split)."""
+    dmp = _dmp(ShardingType.COLUMN_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
+    state = _train(dmp, steps=2)
+    (strat,) = dmp.sharded_ebcs[EBC_PATH].strategies
+    per = strat.unshard_opt_to_tables(state.emb_states[EBC_PATH][0].opt)
+    path = str(tmp_path / "ck.npz")
+    save_reshardable(path, dmp, state)
+
+    env = ShardingEnv.from_devices(jax.devices()[:8], local_size=4)
+    dmp2 = DistributedModelParallel(
+        _model(), env=env,
+        plan=ShardingPlan({EBC_PATH: {
+            "t0": ParameterSharding(ShardingType.TABLE_COLUMN_WISE, ranks=[0]),
+            "t1": ParameterSharding(ShardingType.TABLE_COLUMN_WISE, ranks=[1]),
+        }}),
+        fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+        fused_params={"learning_rate": 0.1},
+        dense_optimizer=optax.sgd(0.1),
+    )
+    s2 = dmp2.init(jax.random.PRNGKey(7), *_batch(0))
+    s2 = load_reshardable(path, dmp2, s2)
+    (strat2,) = dmp2.sharded_ebcs[EBC_PATH].strategies
+    per2 = strat2.unshard_opt_to_tables(s2.emb_states[EBC_PATH][0].opt)
+    for t in ("t0", "t1"):
+        np.testing.assert_array_equal(
+            per2[t]["m1__cwrow"], per[t]["m1__cwrow"]
+        )
+
+
+def test_optimizer_kind_mismatch_restarts_fresh(tmp_path):
+    """Loading a rowwise-Adagrad checkpoint into an Adam DMP keeps Adam's
+    fresh (zero) momenta instead of corrupting state (no error)."""
+    dmp = _dmp(ShardingType.ROW_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
+    state = _train(dmp, steps=2)
+    path = str(tmp_path / "ck.npz")
+    save_reshardable(path, dmp, state)
+    dmp2 = _dmp(ShardingType.ROW_WISE, 4, EmbOptimType.ADAM)
+    s2 = dmp2.init(jax.random.PRNGKey(7), *_batch(0))
+    s2 = load_reshardable(path, dmp2, s2)
+    opt = s2.emb_states[EBC_PATH][0].opt
+    assert float(np.abs(np.asarray(opt.momentum1)).max()) == 0.0
+    assert float(np.abs(np.asarray(opt.momentum2)).max()) == 0.0
+    # weights still resharded correctly
+    w = dmp2.sharded_ebcs[EBC_PATH].unshard_to_dense(s2.emb_states[EBC_PATH])
+    w0 = dmp.sharded_ebcs[EBC_PATH].unshard_to_dense(state.emb_states[EBC_PATH])
+    np.testing.assert_allclose(
+        np.asarray(w["t0"], np.float32), np.asarray(w0["t0"], np.float32),
+        rtol=1e-6,
+    )

@@ -416,7 +416,9 @@ def apply_fused_update(
         new_m2 = m2.at[uids].add(
             fm[:, None] * (new_m2_rows - m2_rows), mode="drop", **hints
         )
-        t = step.astype(weights.dtype)
+        # bias correction in the f32 compute dtype: beta**t computed in
+        # bf16 rounds beta2=0.999 to ~0.99609 and mis-scales early steps
+        t = step.astype(cdt)
         m1_hat = new_m1_rows / (1.0 - beta1**t)
         m2_hat = new_m2_rows / (1.0 - beta2**t)
         upd = -lr * fm[:, None] * m1_hat / (jnp.sqrt(m2_hat) + eps)
@@ -441,7 +443,7 @@ def apply_fused_update(
         new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * jnp.mean(
             g * g, axis=1
         )
-        t = step.astype(weights.dtype)
+        t = step.astype(cdt)
         m1_hat = new_m1_rows / (1.0 - beta1**t)
         m2_hat = new_m2_rows / (1.0 - beta2**t)
         upd = -lr * m1_hat / (jnp.sqrt(m2_hat)[:, None] + eps)
@@ -477,7 +479,7 @@ def apply_fused_update(
             )
         else:
             new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * g * g
-        t = step.astype(weights.dtype)
+        t = step.astype(cdt)
         m1_hat = new_m1_rows / (1.0 - beta1**t)
         m2_hat = new_m2_rows / (1.0 - beta2**t)
         if rowwise:

@@ -580,9 +580,9 @@ class DistributedModelParallel:
             {"params": sub["feature_processor"]}, sb
         ).weights
 
-    def forward(self, state: DMPState, *args):
-        """Inference/eval forward (jit-compatible; host-driven staging runs
-        first when the plan holds FUSED_UVM_CACHING tables)."""
+    def _forward_core(self, state: DMPState, uvm_vals, *args):
+        """Traceable eval forward; uvm_vals maps UVM module keys to their
+        host-staged pooled arrays (empty when no UVM tables planned)."""
         sb = self._find_sparse_arg(args)
         pooled = {}
         for key in self.sharded_ebcs:
@@ -597,15 +597,45 @@ class DistributedModelParallel:
                     if self.sharded_ebcs[key] is not None
                     else None
                 )
-                pooled[key] = self._merge_uvm(
-                    key, dev, self._uvm_forward_values(key, sbk)
-                )
+                pooled[key] = self._merge_uvm(key, dev, uvm_vals[key])
             else:
                 pooled[key] = self._forward_values(state, key, sbk)
         return self.swapped.apply(
             {"params": state.dense_params, "injected": self._injected(pooled)},
             *args,
         )
+
+    def forward(self, state: DMPState, *args):
+        """Inference/eval forward. Jit-compatible UNLESS the plan holds
+        FUSED_UVM_CACHING tables (their rows are host-staged, which cannot
+        trace) — wrap eval in `make_eval_fn()` instead, which splits the
+        host staging out of the jitted region like the train step does."""
+        sb = self._find_sparse_arg(args)
+        uvm_vals = {
+            k: self._uvm_forward_values(k, sb) for k in self._uvm_split
+        }
+        return self._forward_core(state, uvm_vals, *args)
+
+    def make_eval_fn(self, jit: bool = True):
+        """Build a jit-safe eval forward: (state, *args) -> model output.
+
+        With FUSED_UVM_CACHING tables the host-side row staging runs
+        OUTSIDE the jitted executable (the same host/device split as
+        `make_train_step`); without them this is simply jit(forward)."""
+        if not self._uvm_split:
+            fn = lambda state, *args: self._forward_core(state, {}, *args)
+            return jax.jit(fn) if jit else fn
+        inner = jax.jit(self._forward_core) if jit else self._forward_core
+        uvm_keys = tuple(self._uvm_split)
+
+        def eval_fn(state: DMPState, *args):
+            sb = self._find_sparse_arg(args)
+            uvm_vals = {
+                k: self._uvm_forward_values(k, sb) for k in uvm_keys
+            }
+            return inner(state, uvm_vals, *args)
+
+        return eval_fn
 
     def make_train_step(
         self,

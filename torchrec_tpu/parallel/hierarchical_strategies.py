@@ -119,7 +119,7 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
 
-    def shard_from_dense(self, dense):
+    def shard_from_dense(self, dense, dtype=None):
         arr = np.zeros((self.n, self.rows_loc, self.dim), np.float32)
         for h, tids in enumerate(self.per_host):
             for ti in tids:
@@ -137,7 +137,8 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                         w[l * sr : (l + 1) * sr]
                     )
         return jax.device_put(
-            jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS))
+            jnp.asarray(arr).astype(dtype or self.w_dtype),
+            self._sharding(P(AXIS)),
         )
 
     def unshard_to_dense(self, weights):
@@ -154,6 +155,38 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 ]
                 out[t.name] = np.concatenate(parts)[: t.rows]
         return out
+
+    def unshard_rowwise(self, m):
+        # m [n, rows_loc]: host h's table rows split over its Lc locals
+        out = {}
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                sr = int(self.table_sr[ti])
+                off = self.table_local_off[ti]
+                parts = [
+                    m[h * self.Lc + l, off : off + sr]
+                    for l in range(self.Lc)
+                ]
+                out[t.name] = np.concatenate(parts)[: t.rows]
+        return out
+
+    def shard_rowwise(self, per_table):
+        arr = np.zeros((self.n, self.rows_loc), np.float32)
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                sr = int(self.table_sr[ti])
+                off = self.table_local_off[ti]
+                v = np.asarray(per_table[t.name], np.float32)
+                pad = sr * self.Lc - t.rows
+                if pad:
+                    v = np.concatenate([v, np.zeros((pad,), v.dtype)])
+                for l in range(self.Lc):
+                    arr[h * self.Lc + l, off : off + sr] = (
+                        v[l * sr : (l + 1) * sr]
+                    )
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     # -- stagger helpers -----------------------------------------------------
 
@@ -335,7 +368,7 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
     def weights_shape(self):
         return (self.n, self.rows_loc, self.cols_loc)
 
-    def shard_from_dense(self, dense):
+    def shard_from_dense(self, dense, dtype=None):
         arr = np.zeros((self.n, self.rows_loc, self.cols_loc), np.float32)
         for h, tids in enumerate(self.per_host):
             for ti in tids:
@@ -346,7 +379,7 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                     arr[h * self.Lc + l, off : off + t.rows] = (
                         w[:, l * self.cols_loc : (l + 1) * self.cols_loc]
                     )
-        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -361,6 +394,36 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                 ]
                 out[t.name] = np.concatenate(cols, axis=1)
         return out
+
+    def rowwise_shards(self):
+        return self.Lc
+
+    def unshard_rowwise(self, m):
+        # m [n, rows_loc]: each of host h's Lc column shards keeps its own
+        # rowwise state -> canonical [S=Lc, R] per table (column order)
+        out = {}
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                off = self.table_local_off[ti]
+                out[t.name] = np.stack(
+                    [
+                        m[h * self.Lc + l, off : off + t.rows]
+                        for l in range(self.Lc)
+                    ]
+                )
+        return out
+
+    def shard_rowwise(self, per_table):
+        arr = np.zeros((self.n, self.rows_loc), np.float32)
+        for h, tids in enumerate(self.per_host):
+            for ti in tids:
+                t = self.meta.tables[ti]
+                off = self.table_local_off[ti]
+                v = np.asarray(per_table[t.name], np.float32)  # [Lc, R]
+                for l in range(self.Lc):
+                    arr[h * self.Lc + l, off : off + t.rows] = v[l]
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape

@@ -158,11 +158,133 @@ class BaseEmbeddingShardingStrategy:
             weights=self.init_weights(key), opt=self.init_opt()
         )
 
-    def shard_from_dense(self, dense: Dict[str, np.ndarray]) -> Array:
+    def shard_from_dense(
+        self, dense: Dict[str, np.ndarray], dtype=None
+    ) -> Array:
+        """Sharded array from unsharded per-table arrays. `dtype` defaults
+        to the table storage dtype; pass jnp.float32 when sharding
+        optimizer state (momentum never lives in bf16)."""
         raise NotImplementedError
 
     def unshard_to_dense(self, weights: Array) -> Dict[str, np.ndarray]:
         raise NotImplementedError
+
+    # -- optimizer-state reshard (canonical row space) ---------------------
+    # ref: fused momenta are exposed as row-wise ShardedTensors reassembled
+    # by table FQN so checkpoints reload under a different plan
+    # (batched_embedding_kernel.py:71-118,204-246). Canonical forms here:
+    #   "full"  momentum -> [R, D] per table (exact under ANY plan change)
+    #   "row"   momentum -> [R] per table
+    #   "cwrow" momentum -> [S, R]: column-sharded strategies keep one
+    #           rowwise state per column shard (virtual-table semantics);
+    #           S slices in column order (the ref concatenates these into
+    #           one [S*R] row-wise ShardedTensor, same information).
+
+    def rowwise_shards(self) -> int:
+        """Column shards carrying independent rowwise momentum (1 = plain
+        row space)."""
+        return 1
+
+    def unshard_rowwise(self, m: np.ndarray) -> Dict[str, np.ndarray]:
+        """Canonical per-table view of a rowwise momentum array shaped
+        weights_shape()[:-1]: [R], or [S, R] when rowwise_shards() > 1."""
+        raise NotImplementedError
+
+    def shard_rowwise(self, per_table: Dict[str, np.ndarray]) -> Array:
+        """Inverse of unshard_rowwise: plan-shaped rowwise momentum array."""
+        raise NotImplementedError
+
+    def unshard_opt_to_tables(
+        self, opt: "FusedOptimizerState"
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Canonical per-table optimizer state:
+        {table: {"m1__row"|"m1__cwrow"|"m1__full": arr, ..., "step": s}}."""
+        from torchrec_tpu.ops.fused_update import fused_state_shapes
+
+        k1, k2 = fused_state_shapes(self.optim)
+        out: Dict[str, Dict[str, np.ndarray]] = {
+            t.name: {} for t in self.meta.tables
+        }
+        step = np.asarray(opt.step, np.int32)
+        for kind, m, tag in ((k1, opt.momentum1, "m1"), (k2, opt.momentum2, "m2")):
+            if kind == "none" or m is None:
+                continue
+            if kind == "full":
+                per = self.unshard_to_dense(np.asarray(m))
+                label = "full"
+            else:
+                per = self.unshard_rowwise(np.asarray(m))
+                label = "row" if self.rowwise_shards() == 1 else "cwrow"
+            for tname, arr in per.items():
+                out[tname][f"{tag}__{label}"] = np.asarray(arr, np.float32)
+        for tname in out:
+            out[tname]["step"] = step
+        return out
+
+    @staticmethod
+    def _convert_rowspace(arr: np.ndarray, s_target: int) -> np.ndarray:
+        """Remap canonical rowwise momentum between plain row space and
+        column-shard row space. Exact when shard counts match or the
+        target is plain ([S,R] -> [R] sums the per-shard sum-of-squares,
+        recovering the full-row accumulator); [R] -> [S,R] splits the
+        total evenly (documented approximation — per-column history is
+        not recoverable)."""
+        if arr.ndim == 2 and arr.shape[0] == s_target:
+            return arr
+        if arr.ndim == 2:
+            arr = arr.sum(axis=0)
+        if s_target == 1:
+            return arr
+        return np.tile(arr / s_target, (s_target, 1))
+
+    def shard_opt_from_tables(
+        self,
+        per_table: Dict[str, Dict[str, np.ndarray]],
+        template_opt: "FusedOptimizerState",
+    ) -> Optional["FusedOptimizerState"]:
+        """Plan-shaped optimizer state from canonical per-table arrays.
+        Returns None (caller keeps fresh state) when the stored momentum
+        kinds don't match the current optimizer or any table is missing."""
+        from torchrec_tpu.ops.fused_update import fused_state_shapes
+
+        kinds = fused_state_shapes(self.optim)
+        new_m = []
+        for kind, tag in zip(kinds, ("m1", "m2")):
+            if kind == "none":
+                new_m.append(None)
+                continue
+            gathered: Dict[str, np.ndarray] = {}
+            for t in self.meta.tables:
+                entry = per_table.get(t.name, {})
+                if kind == "full":
+                    arr = entry.get(f"{tag}__full")
+                    if arr is None or arr.shape != (t.rows, t.dim):
+                        return None
+                else:
+                    arr = entry.get(f"{tag}__row")
+                    if arr is None:
+                        arr = entry.get(f"{tag}__cwrow")
+                    if arr is None or arr.shape[-1] != t.rows:
+                        return None
+                    arr = self._convert_rowspace(arr, self.rowwise_shards())
+                gathered[t.name] = np.asarray(arr, np.float32)
+            if kind == "full":
+                new_m.append(self.shard_from_dense(gathered, dtype=jnp.float32))
+            else:
+                new_m.append(self.shard_rowwise(gathered))
+        steps = [
+            int(per_table[t.name]["step"])
+            for t in self.meta.tables
+            if "step" in per_table.get(t.name, {})
+        ]
+        if len(steps) != len(self.meta.tables):
+            return None
+        return FusedOptimizerState(
+            momentum1=new_m[0],
+            momentum2=new_m[1],
+            step=jnp.asarray(max(steps), jnp.int32),
+            optim=self.optim,
+        )
 
     # -- compute -----------------------------------------------------------
 
@@ -259,11 +381,14 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_pspec(self) -> P:
         return P()
 
-    def shard_from_dense(self, dense):
+    def shard_from_dense(self, dense, dtype=None):
         arr = np.concatenate(
             [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )
-        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P()))
+        return jax.device_put(
+            jnp.asarray(arr).astype(dtype or self.w_dtype),
+            self._sharding(P()),
+        )
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -271,6 +396,19 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         for off, t in zip(self.row_offsets, self.meta.tables):
             out[t.name] = w[off : off + t.rows]
         return out
+
+    def unshard_rowwise(self, m):
+        out = {}
+        for off, t in zip(self.row_offsets, self.meta.tables):
+            out[t.name] = m[off : off + t.rows]
+        return out
+
+    def shard_rowwise(self, per_table):
+        arr = np.concatenate(
+            [np.asarray(per_table[t.name], np.float32)
+             for t in self.meta.tables]
+        )
+        return jax.device_put(jnp.asarray(arr), self._sharding(P()))
 
     def _local_ids(self, sb: PaddedSparseBatch):
         return sb.ids + jnp.asarray(self.feat_row_off)[:, None, None]
@@ -370,7 +508,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
 
-    def shard_from_dense(self, dense):
+    def shard_from_dense(self, dense, dtype=None):
         n = self.n
         parts = []
         for sr, t in zip(self.shard_rows, self.meta.tables):
@@ -378,11 +516,11 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             pad = int(sr) * n - t.rows
             if pad:
                 w = np.concatenate(
-                    [w, np.zeros((pad, t.dim), w.dtype)], axis=0
+                    [w, np.zeros((pad,) + w.shape[1:], w.dtype)], axis=0
                 )
-            parts.append(w.reshape(n, int(sr), t.dim))
+            parts.append(w.reshape(n, int(sr), *w.shape[1:]))
         arr = np.concatenate(parts, axis=1)  # [n, rows_loc, D]
-        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)  # [n, rows_loc, D]
@@ -393,6 +531,26 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             tbl = w[:, off : off + int(sr), :].reshape(-1, t.dim)
             out[t.name] = tbl[: t.rows]
         return out
+
+    def unshard_rowwise(self, m):
+        out = {}
+        for sr, off, t in zip(
+            self.shard_rows, self.local_offsets, self.meta.tables
+        ):
+            out[t.name] = m[:, off : off + int(sr)].reshape(-1)[: t.rows]
+        return out
+
+    def shard_rowwise(self, per_table):
+        n = self.n
+        parts = []
+        for sr, t in zip(self.shard_rows, self.meta.tables):
+            v = np.asarray(per_table[t.name], np.float32)
+            pad = int(sr) * n - t.rows
+            if pad:
+                v = np.concatenate([v, np.zeros((pad,), v.dtype)])
+            parts.append(v.reshape(n, int(sr)))
+        arr = np.concatenate(parts, axis=1)  # [n, rows_loc]
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def _route(self, ids_g: Array, lengths_g: Array, my: Array, L: int):
         """owner/local-row routing for gathered ids."""
@@ -532,7 +690,7 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.rows_max, self.dim)
 
-    def shard_from_dense(self, dense):
+    def shard_from_dense(self, dense, dtype=None):
         arr = np.zeros((self.n, self.rows_max, self.dim), np.float32)
         for d, tids in enumerate(self.per_dev):
             off = 0
@@ -540,7 +698,7 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 t = self.meta.tables[ti]
                 arr[d, off : off + t.rows] = np.asarray(dense[t.name])
                 off += t.rows
-        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -552,6 +710,28 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 out[t.name] = w[d, off : off + t.rows]
                 off += t.rows
         return out
+
+    def unshard_rowwise(self, m):
+        out = {}
+        for d, tids in enumerate(self.per_dev):
+            off = 0
+            for ti in tids:
+                t = self.meta.tables[ti]
+                out[t.name] = m[d, off : off + t.rows]
+                off += t.rows
+        return out
+
+    def shard_rowwise(self, per_table):
+        arr = np.zeros((self.n, self.rows_max), np.float32)
+        for d, tids in enumerate(self.per_dev):
+            off = 0
+            for ti in tids:
+                t = self.meta.tables[ti]
+                arr[d, off : off + t.rows] = np.asarray(
+                    per_table[t.name], np.float32
+                )
+                off += t.rows
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def _mine(self, ids_g, len_g, psw_g, my):
         feats = jnp.asarray(self.dev_feats)[my]  # [f_max]
@@ -678,12 +858,12 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.total_rows, self.cols_loc)
 
-    def shard_from_dense(self, dense):
+    def shard_from_dense(self, dense, dtype=None):
         arr = np.concatenate(
             [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )  # [R, D]
         arr = np.stack(np.split(arr, self.n, axis=1), axis=0)  # [n, R, D/n]
-        return jax.device_put(jnp.asarray(arr).astype(self.w_dtype), self._sharding(P(AXIS)))
+        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)  # [n, R, D/n]
@@ -692,6 +872,25 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         for off, t in zip(self.row_offsets, self.meta.tables):
             out[t.name] = full[off : off + t.rows]
         return out
+
+    def rowwise_shards(self):
+        return self.n
+
+    def unshard_rowwise(self, m):
+        # m [n, total_rows]: one independent rowwise state per column
+        # shard (virtual-table semantics) -> canonical [S=n, R] per table
+        out = {}
+        for off, t in zip(self.row_offsets, self.meta.tables):
+            out[t.name] = m[:, off : off + t.rows]
+        return out
+
+    def shard_rowwise(self, per_table):
+        arr = np.concatenate(
+            [np.asarray(per_table[t.name], np.float32)
+             for t in self.meta.tables],
+            axis=1,
+        )  # [n, total_rows]
+        return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape

@@ -113,6 +113,12 @@ class UvmEmbeddingBagCollection:
             slots = uvm.prepare(ids_np[fidx])
             L = sb.max_length
             mode = pooling_type_to_mode(t.pooling)
+            # One fused update per TABLE: a row id appearing under two of
+            # the table's features in the same batch must be duplicate-
+            # combined (FBGEMM exact semantics; ref
+            # batched_embedding_kernel.py:604-647), not updated twice
+            # sequentially — sequential rowwise-Adagrad diverges.
+            all_slots, all_grads, all_masks = [], [], []
             for j, _ in enumerate(enames):
                 lo, hi = offsets[pos], offsets[pos + 1]
                 d = d_values[:, lo:hi]  # [B, D_t]
@@ -126,13 +132,16 @@ class UvmEmbeddingBagCollection:
                 row_grads = (
                     np.asarray(d)[:, None, :] * coeff[:, :, None]
                 )  # [B, L, D_t]
-                uvm.update(
-                    jnp.asarray(slots[j].reshape(-1)),
-                    jnp.asarray(row_grads.reshape(-1, hi - lo)),
-                    jnp.asarray(mask.reshape(-1)),
-                    learning_rate,
-                )
+                all_slots.append(slots[j].reshape(-1))
+                all_grads.append(row_grads.reshape(-1, hi - lo))
+                all_masks.append(mask.reshape(-1))
                 pos += 1
+            uvm.update(
+                jnp.asarray(np.concatenate(all_slots)),
+                jnp.asarray(np.concatenate(all_grads)),
+                jnp.asarray(np.concatenate(all_masks)),
+                learning_rate,
+            )
 
     def flush(self) -> None:
         for uvm in self._uvm.values():

@@ -1,16 +1,23 @@
 """Checkpoint / resume.
 
 ref: the reference checkpoints through the state_dict protocol with
-sharded weights exposed as ShardedTensors re-shardable by key
-(SURVEY §5.4; torchrec/distributed/model_parallel.py:392-456,
-batched_embedding_kernel.py:184-246, optim/keyed.py:69-227).
+sharded weights AND fused optimizer momenta exposed as ShardedTensors
+re-shardable by key (SURVEY §5.4; torchrec/distributed/
+model_parallel.py:392-456, batched_embedding_kernel.py:71-118,204-246,
+optim/keyed.py:69-227).
 
 TPU design, two levels:
 
 * `save_reshardable` / `load_reshardable`: a flat npz of UNSHARDED
-  per-table weights + FQN-keyed dense params — portable across topologies
-  and plans (the "re-shardable by key" property). Fused momenta restart
-  fresh on reshard, matching a plan change.
+  per-table weights, per-table CANONICAL fused optimizer momenta, FQN-keyed
+  dense params, and host-offloaded (UVM) tables + momenta — portable across
+  topologies and plans. Momenta reshard exactly whenever semantics allow:
+  full momenta ([R, D], Adam/LAMB/Adagrad) under ANY plan change; rowwise
+  momenta ([R]) across any row-space plans (DP/RW/TW/TWRW, any world size);
+  column-sharded rowwise momenta ([S, R] virtual tables) exactly when the
+  column-shard count matches, summed (exact total) when moving to row
+  space, and split evenly (approximation) when entering column space.
+  Kind mismatches (optimizer changed across the save) restart fresh.
 
 * `save_state` / `restore_state`: orbax checkpoint of the full DMPState
   pytree (sharded weights, momenta, dense optimizer, step) for exact
@@ -29,76 +36,84 @@ from torchrec_tpu.optim.keyed import flatten_with_fqns, unflatten_from_fqns
 
 
 def save_reshardable(path: str, dmp, state) -> None:
-    """Flat npz: dense params by FQN + original unsharded table weights.
-
-    Fused optimizer momenta are saved in their SHARDED layout with a
-    shape signature: loading onto the identical plan restores them
-    exactly (the reference's same-plan resume contract); a different
-    plan restarts momenta fresh (ref: momentum tensors are plan-shaped,
-    batched_embedding_kernel.py:204-246)."""
+    """Flat npz: dense params by FQN, unsharded table weights (device AND
+    host-offloaded UVM), and per-table canonical fused momenta."""
     flat: Dict[str, np.ndarray] = {}
     for k, v in flatten_with_fqns(state.dense_params).items():
         flat[f"dense/{k}"] = np.asarray(v)
     for key, ebc in dmp.sharded_ebcs.items():
-        tables = ebc.unshard_to_dense(state.emb_states[key])
-        for name, w in tables.items():
-            flat[f"tables/{key}/{name}"] = np.asarray(
-                w, dtype=np.float32
-            )
-        for gi, gs in enumerate(state.emb_states[key]):
-            opt = gs.opt
-            if opt.momentum1 is not None:
-                flat[f"opt/{key}/{gi}/m1"] = np.asarray(opt.momentum1)
-            if opt.momentum2 is not None:
-                flat[f"opt/{key}/{gi}/m2"] = np.asarray(opt.momentum2)
-            flat[f"opt/{key}/{gi}/step"] = np.asarray(opt.step)
+        if ebc is not None:
+            tables = ebc.unshard_to_dense(state.emb_states[key])
+            for name, w in tables.items():
+                flat[f"tables/{key}/{name}"] = np.asarray(
+                    w, dtype=np.float32
+                )
+            for strat, gs in zip(ebc.strategies, state.emb_states[key]):
+                for tname, entry in strat.unshard_opt_to_tables(
+                    gs.opt
+                ).items():
+                    for tag, arr in entry.items():
+                        flat[f"opt/{key}/{tname}/{tag}"] = arr
+        # host-offloaded UVM tables: weights ride with the other tables,
+        # momentum under its own prefix (ADVICE r1: these were silently
+        # omitted -> the largest tables vanished from Criteo checkpoints)
+        uvm = getattr(dmp, "_uvm_mods", {}).get(key)
+        if uvm is not None:
+            for name, w in uvm.state_dict().items():
+                flat[f"tables/{key}/{name}"] = np.asarray(w, np.float32)
+            for name, m in uvm.momentum_dict().items():
+                flat[f"uvmopt/{key}/{name}"] = np.asarray(m, np.float32)
     flat["step"] = np.asarray(state.step)
     np.savez(path, **flat)
 
 
 def load_reshardable(path: str, dmp, state):
-    """Rebuild a DMPState from an npz onto the CURRENT plan/topology."""
+    """Rebuild a DMPState from an npz onto the CURRENT plan/topology.
+
+    Weights always reshard; fused momenta reshard from their canonical
+    per-table form (see module docstring for exactness guarantees)."""
     data = np.load(path)
     dense_flat = {
         k[len("dense/"):]: data[k] for k in data.files if k.startswith("dense/")
     }
     dense_params = unflatten_from_fqns(state.dense_params, dense_flat)
     dense_params = jax.tree.map(jax.numpy.asarray, dense_params)
+
+    # weights (device + UVM) through the DMP reshard path
+    tables_by_key: Dict[str, Dict[str, np.ndarray]] = {}
+    uvm_momentum: Dict[str, Dict[str, np.ndarray]] = {}
+    for k in data.files:
+        # module keys are "/"-joined attribute paths; only the trailing
+        # component (the table name) is slash-free
+        if k.startswith("tables/"):
+            key, name = k[len("tables/"):].rsplit("/", 1)
+            tables_by_key.setdefault(key, {})[name] = data[k]
+        elif k.startswith("uvmopt/"):
+            key, name = k[len("uvmopt/"):].rsplit("/", 1)
+            uvm_momentum.setdefault(key, {})[name] = data[k]
+    state = dmp.load_tables(
+        state, tables_by_key, uvm_momentum=uvm_momentum or None
+    )
+
+    # device fused momenta from canonical per-table form
     new_emb = dict(state.emb_states)
     for key, ebc in dmp.sharded_ebcs.items():
-        prefix = f"tables/{key}/"
-        tables = {
-            k[len(prefix):]: data[k] for k in data.files if k.startswith(prefix)
-        }
-        if tables:
-            groups = list(ebc.shard_from_dense(tables))
-            # same-plan momentum restore (shape signature must match)
-            for gi, gs in enumerate(groups):
-                opt = gs.opt
-                m1k, m2k = f"opt/{key}/{gi}/m1", f"opt/{key}/{gi}/m2"
-                stk = f"opt/{key}/{gi}/step"
-                ok = True
-                for mk, cur in ((m1k, opt.momentum1), (m2k, opt.momentum2)):
-                    if (mk in data.files) != (cur is not None):
-                        ok = False
-                    elif cur is not None and data[mk].shape != cur.shape:
-                        ok = False
-                if ok and stk in data.files:
-                    new_opt = opt.replace(
-                        momentum1=None if opt.momentum1 is None
-                        else jax.device_put(
-                            jax.numpy.asarray(data[m1k]),
-                            opt.momentum1.sharding,
-                        ),
-                        momentum2=None if opt.momentum2 is None
-                        else jax.device_put(
-                            jax.numpy.asarray(data[m2k]),
-                            opt.momentum2.sharding,
-                        ),
-                        step=jax.numpy.asarray(data[stk]),
-                    )
-                    groups[gi] = gs.replace(opt=new_opt)
-            new_emb[key] = tuple(groups)
+        if ebc is None:
+            continue
+        prefix = f"opt/{key}/"
+        per_table: Dict[str, Dict[str, np.ndarray]] = {}
+        for k in data.files:
+            if k.startswith(prefix):
+                tname, tag = k[len(prefix):].rsplit("/", 1)
+                per_table.setdefault(tname, {})[tag] = data[k]
+        if not per_table:
+            continue
+        groups = list(new_emb[key])
+        for gi, (strat, gs) in enumerate(zip(ebc.strategies, groups)):
+            new_opt = strat.shard_opt_from_tables(per_table, gs.opt)
+            if new_opt is not None:
+                groups[gi] = gs.replace(opt=new_opt)
+        new_emb[key] = tuple(groups)
     return state.replace(
         dense_params=dense_params,
         emb_states=new_emb,
