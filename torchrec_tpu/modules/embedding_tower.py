@@ -14,14 +14,20 @@ from torchrec_tpu.sparse import PaddedSparseBatch
 
 
 class EmbeddingTower(nn.Module):
-    """embedding module + interaction module (ref: embedding_tower.py:39)."""
+    """embedding module + interaction module (ref: embedding_tower.py:39).
+
+    Contract: the interaction module takes the pooled values array
+    [B, sum(table dims x features)] in declaration order — the same input
+    the sharded tower feeds it on its owning device
+    (parallel/tower_sharding.py), so authored and sharded paths agree."""
 
     embedding_module: nn.Module
     interaction_module: nn.Module
 
     def __call__(self, features: PaddedSparseBatch) -> jax.Array:
         embeddings = self.embedding_module(features)
-        return self.interaction_module(embeddings)
+        values = getattr(embeddings, "values", embeddings)
+        return self.interaction_module(values)
 
 
 class EmbeddingTowerCollection(nn.Module):

@@ -90,6 +90,28 @@ class InjectedEmbeddingBagCollection(nn.Module):
         )
 
 
+class InjectedEmbeddingTowerCollection(nn.Module):
+    """Parameter-less stand-in for an EmbeddingTower(Collection): returns
+    the concatenated tower interaction outputs [B, sum d_out] injected by
+    the sharded tower collection (towers run entirely outside the dense
+    graph — lookup AND interaction live on the owning device, only the
+    small [B, d_out] output crosses back; ref:
+    embedding_tower_sharding.py:429-833)."""
+
+    total_d_out: int
+
+    @nn.compact
+    def __call__(self, features: PaddedSparseBatch) -> Array:
+        """Call Args: features padded sparse batch (batch-size source)."""
+        B = features.ids.shape[1]
+        out = self.variable(
+            "injected",
+            "pooled",
+            lambda: jnp.zeros((B, self.total_d_out), jnp.float32),
+        )
+        return out.value
+
+
 class InjectedEmbeddingCollection(nn.Module):
     """Parameter-less stand-in for an EmbeddingCollection: returns the
     per-token embeddings injected as a stacked [F, B, L, D] variable."""
@@ -113,6 +135,24 @@ class InjectedEmbeddingCollection(nn.Module):
         return {k: stacked.value[i] for i, k in enumerate(self.keys)}
 
 
+def _tower_d_in(tower) -> int:
+    """Interaction input width: one pooled [D] block per (table, feature)."""
+    return sum(
+        t.embedding_dim * len(t.feature_names)
+        for t in tower.embedding_module.tables
+    )
+
+
+def _tower_d_out(tower) -> int:
+    """Interaction output width, inferred shape-only (no compute)."""
+    out = jax.eval_shape(
+        lambda r, x: tower.interaction_module.init_with_output(r, x)[0],
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, _tower_d_in(tower)), jnp.float32),
+    )
+    return int(out.shape[1])
+
+
 def _swap_ebcs(
     module: nn.Module, path: Tuple[str, ...] = ()
 ) -> Tuple[nn.Module, Dict[Tuple[str, ...], nn.Module]]:
@@ -122,11 +162,26 @@ def _swap_ebcs(
     Attribute paths match flax scope paths for field-declared submodules.
     """
     from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
+    from torchrec_tpu.modules.embedding_tower import (
+        EmbeddingTower,
+        EmbeddingTowerCollection,
+    )
     from torchrec_tpu.modules.feature_processor import (
         FeatureProcessedEmbeddingBagCollection,
     )
 
     found: Dict[Tuple[str, ...], nn.Module] = {}
+    if isinstance(module, (EmbeddingTower, EmbeddingTowerCollection)):
+        towers = (
+            module.towers
+            if isinstance(module, EmbeddingTowerCollection)
+            else (module,)
+        )
+        stub = InjectedEmbeddingTowerCollection(
+            total_d_out=sum(_tower_d_out(tw) for tw in towers)
+        )
+        found[path] = module
+        return stub, found
     if isinstance(module, FeatureProcessedEmbeddingBagCollection):
         from torchrec_tpu.modules.embedding_modules import (
             embedding_names_by_table,
@@ -231,12 +286,14 @@ class DMPState:
 
 
 def _default_plan(
-    tables, env: ShardingEnv, sharder
+    tables, env: ShardingEnv, sharder, dependencies: Optional[dict] = None
 ) -> Dict[str, ParameterSharding]:
     """No explicit plan: run the cost-model planner constrained to the
     module's sharder capabilities (the reference plans via
     EmbeddingShardingPlanner.collective_plan when DMP gets no plan,
-    model_parallel.py:200-212). Falls back to a RW/DP heuristic when the
+    model_parallel.py:200-212). `dependencies` maps table names to
+    co-location tags (one per embedding tower, ref planner/
+    enumerators.py:130-135). Falls back to a RW/DP heuristic when the
     planner cannot find a feasible layout for the toy topology."""
     from torchrec_tpu.planner import (
         EmbeddingShardingPlanner,
@@ -245,17 +302,32 @@ def _default_plan(
     )
     from torchrec_tpu.planner.types import PlannerError
 
+    dependencies = dependencies or {}
     try:
         topo = Topology(world_size=env.world_size)
         constraints = {
             t.name: ParameterConstraints(
-                sharding_types=sharder.sharding_types()
+                sharding_types=sharder.sharding_types(),
+                dependency=dependencies.get(t.name),
             )
             for t in tables
         }
         planner = EmbeddingShardingPlanner(topo, constraints=constraints)
         return planner.plan(tables, module_path="m").plan["m"]
     except PlannerError:
+        if dependencies:
+            # co-located fallback: whole dependency groups round-robin
+            tags = sorted({dependencies.get(t.name, t.name) for t in tables})
+            rank_of = {
+                tag: i % env.world_size for i, tag in enumerate(tags)
+            }
+            return {
+                t.name: ParameterSharding(
+                    ShardingType.TABLE_WISE,
+                    ranks=[rank_of[dependencies.get(t.name, t.name)]],
+                )
+                for t in tables
+            }
         plan = {}
         for cfg in tables:
             if cfg.num_embeddings < 64:
@@ -320,8 +392,22 @@ class DistributedModelParallel:
         )
         from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
 
+        from torchrec_tpu.modules.embedding_tower import (
+            EmbeddingTower,
+            EmbeddingTowerCollection,
+        )
+
         for path, mod in self._ebcs.items():
             key = "/".join(path) if path else "<root>"
+            if isinstance(mod, (EmbeddingTower, EmbeddingTowerCollection)):
+                # a tower = its tables + interaction module co-located on
+                # one device; the sharded collection owns BOTH (interaction
+                # params update with SGD at the fused learning rate inside
+                # the collection — ref: interaction modules DDP'd on the
+                # owner host, embedding_tower_sharding.py:170-177)
+                self._init_tower_module(key, path, mod, plan, fused_optim,
+                                        fused_params)
+                continue
             if isinstance(mod, FeatureProcessedEmbeddingBagCollection):
                 # shard the inner EBC; the processor stays dense (its
                 # params live replicated in dense_params via the stub)
@@ -405,6 +491,77 @@ class DistributedModelParallel:
                 self._kinds[key] = "ebc"
             self._paths[key] = path
         self.dense_optimizer = dense_optimizer or optax.sgd(self.learning_rate)
+
+    def _init_tower_module(self, key, path, mod, plan, fused_optim,
+                           fused_params):
+        """Build a ShardedEmbeddingTowerCollection for an authored
+        EmbeddingTower(Collection) per the plan (ref: DMP swaps towers via
+        EmbeddingTower(Collection)Sharder, model_parallel.py:310-341 +
+        embedding_tower_sharding.py:835-941)."""
+        from torchrec_tpu.modules.embedding_tower import (
+            EmbeddingTowerCollection,
+        )
+        from torchrec_tpu.parallel.sharders import (
+            EmbeddingTowerCollectionSharder,
+        )
+        from torchrec_tpu.parallel.tower_sharding import (
+            ShardedEmbeddingTowerCollection,
+            TowerSpec,
+        )
+
+        towers = (
+            mod.towers
+            if isinstance(mod, EmbeddingTowerCollection)
+            else (mod,)
+        )
+        all_tables = tuple(
+            t for tw in towers for t in tw.embedding_module.tables
+        )
+        module_plan = None
+        if plan is not None:
+            module_plan = plan.get_plan_for_module("/".join(path))
+        if module_plan is None:
+            deps = {
+                t.name: f"tower_{i}"
+                for i, tw in enumerate(towers)
+                for t in tw.embedding_module.tables
+            }
+            sharder = next(
+                (s for s in self._sharders
+                 if getattr(s, "module_kind", None) == "tower"),
+                None,
+            ) or EmbeddingTowerCollectionSharder()
+            module_plan = _default_plan(
+                all_tables, self.env, sharder, dependencies=deps
+            )
+        specs = []
+        for i, tw in enumerate(towers):
+            ranks = set()
+            for t in tw.embedding_module.tables:
+                ps = module_plan[t.name]
+                ranks.add(ps.ranks[0] if ps.ranks else 0)
+            if len(ranks) != 1:
+                raise ValueError(
+                    f"tower {i} tables placed on multiple ranks "
+                    f"{sorted(ranks)}; a tower must be co-located"
+                )
+            specs.append(
+                TowerSpec(
+                    tables=tuple(tw.embedding_module.tables),
+                    interaction=tw.interaction_module,
+                    device=ranks.pop(),
+                    d_out=_tower_d_out(tw),
+                )
+            )
+        self.sharded_ebcs[key] = ShardedEmbeddingTowerCollection(
+            self.env,
+            specs,
+            optim=fused_optim,
+            optim_kwargs=fused_params,
+            interaction_lr=self.learning_rate,
+        )
+        self._kinds[key] = "tower"
+        self._paths[key] = path
 
     @staticmethod
     def _build_uvm_split(tables, dev_tables, uvm_tables, optim, optim_kwargs):
@@ -551,6 +708,8 @@ class DistributedModelParallel:
         ebc = self.sharded_ebcs[key]
         if self._kinds[key] == "ec":
             return ebc.forward_stacked(state.emb_states[key], sb)
+        if self._kinds[key] == "tower":
+            return ebc.forward(state.emb_states[key], sb)  # [B, sum d_out]
         return ebc.forward(state.emb_states[key], sb).values
 
     def _update_module(self, state_emb, key: str, sb, d_values, step):
@@ -857,7 +1016,14 @@ class DistributedModelParallel:
                 k: v for k, v in dense.items() if k not in uvm_names
             }
             if dev_dense:
-                new_emb[key] = self.sharded_ebcs[key].shard_from_dense(
-                    dev_dense
-                )
+                if self._kinds.get(key) == "tower":
+                    # preserve interaction params; tables reshard, fused
+                    # optimizer state restarts (as on any cross-plan load)
+                    new_emb[key] = self.sharded_ebcs[key].load_tables(
+                        state.emb_states[key], dev_dense
+                    )
+                else:
+                    new_emb[key] = self.sharded_ebcs[key].shard_from_dense(
+                        dev_dense
+                    )
         return state.replace(emb_states=new_emb)

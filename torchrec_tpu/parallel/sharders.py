@@ -88,10 +88,24 @@ class QuantEmbeddingBagCollectionSharder(ModuleSharder):
         return [ComputeKernel.QUANT]
 
 
+class EmbeddingTowerCollectionSharder(ModuleSharder):
+    """ref: embedding_tower_sharding.py:835-941
+    (EmbeddingTower(Collection)Sharder) — a tower's tables are whole
+    tables co-located with their interaction module on ONE device, so
+    only TABLE_WISE placements are legal; the planner co-locates them
+    via the constraint dependency tag (enumerators.py:130-135)."""
+
+    module_kind = "tower"
+
+    def sharding_types(self, device_type: str = "tpu") -> List[ShardingType]:
+        return [ShardingType.TABLE_WISE]
+
+
 def get_default_sharders() -> List[ModuleSharder]:
     """ref: model_parallel.py:43-47."""
     return [
         EmbeddingBagCollectionSharder(),
         EmbeddingCollectionSharder(),
         QuantEmbeddingBagCollectionSharder(),
+        EmbeddingTowerCollectionSharder(),
     ]

@@ -257,6 +257,27 @@ class ShardedEmbeddingTowerCollection:
                 out[t.name] = w[d, off : off + t.num_embeddings]
         return out
 
+    # DMP state-dict protocol (same surface as ShardedEmbeddingBagCollection)
+
+    def unshard_to_dense(
+        self, state: TowerCollectionState
+    ) -> Dict[str, np.ndarray]:
+        return self.unshard_tables_to_dense(state.emb.weights)
+
+    def load_tables(
+        self, state: TowerCollectionState, dense: Dict[str, np.ndarray]
+    ) -> TowerCollectionState:
+        """Reshard-on-load of (a subset of) table weights; interaction
+        params are preserved, fused optimizer state restarts fresh."""
+        merged = self.unshard_tables_to_dense(state.emb.weights)
+        merged.update(dense)
+        return state.replace(
+            emb=EmbeddingGroupState(
+                weights=self.shard_tables_from_dense(merged),
+                opt=self._init_opt(),
+            )
+        )
+
     # -- compute ------------------------------------------------------------
 
     def _slot_pooled(self, w_loc, ids_g, len_g, psw_g, my, s, dtype):

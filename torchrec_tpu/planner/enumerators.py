@@ -122,10 +122,16 @@ class EmbeddingEnumerator(Enumerator):
         out: List[ShardingOption] = []
         for table in tables:
             c = constraints.get(table.name)
+            dependency = c.dependency if c else None
             stypes = (
                 c.sharding_types if c and c.sharding_types
                 else self._sharding_types
             )
+            if dependency is not None:
+                # co-located (tower) tables: whole tables on one rank only
+                # (ref: enumerators.py:130-135 restricts tower children to
+                # TABLE_WISE and tags them for the partitioner)
+                stypes = [ShardingType.TABLE_WISE]
             kernels = (
                 c.compute_kernels if c and c.compute_kernels else self._kernels
             )
@@ -159,6 +165,7 @@ class EmbeddingEnumerator(Enumerator):
                                 Shard(s.size, s.offset, s.rank)
                                 for s in shards
                             ],
+                            dependency=dependency,
                         )
                     )
         return out

@@ -102,20 +102,37 @@ class GreedyPerfPartitioner(Partitioner):
                 )
             opt.host = placed_host
 
-        # device options: biggest first onto min-perf feasible device
-        tw_options.sort(key=lambda o: o.total_storage.hbm, reverse=True)
-        for opt in tw_options:
-            for shard in opt.shards:
-                candidates = sorted(devices, key=lambda d: d.perf)
-                placed = False
-                for dev in candidates:
-                    if shard.storage.fits_in(dev.storage):
+        # device options: group by dependency tag (tables of one embedding
+        # tower must co-locate, ref: enumerators.py:130-135) — singletons
+        # are their own group; biggest group first onto the min-perf device
+        # that fits the WHOLE group
+        groups: dict = {}
+        for i, opt in enumerate(tw_options):
+            groups.setdefault(opt.dependency or f"__solo_{i}", []).append(opt)
+        ordered = sorted(
+            groups.values(),
+            key=lambda g: sum(o.total_storage.hbm for o in g),
+            reverse=True,
+        )
+        for group in ordered:
+            shards = [s for o in group for s in o.shards]
+            need_hbm = sum(s.storage.hbm for s in shards)
+            need_ddr = sum(s.storage.ddr for s in shards)
+            candidates = sorted(devices, key=lambda d: d.perf)
+            placed = False
+            for dev in candidates:
+                if (
+                    need_hbm <= dev.storage.hbm
+                    and need_ddr <= dev.storage.ddr
+                ):
+                    for shard in shards:
                         place(shard, dev.rank)
-                        placed = True
-                        break
-                if not placed:
-                    raise PlannerError(
-                        f"no device can hold table {opt.name} "
-                        f"({shard.storage.hbm/1024**2:.0f}MiB HBM)"
-                    )
+                    placed = True
+                    break
+            if not placed:
+                names = ",".join(o.name for o in group)
+                raise PlannerError(
+                    f"no device can hold table group [{names}] "
+                    f"({need_hbm/1024**2:.0f}MiB HBM)"
+                )
         return plan

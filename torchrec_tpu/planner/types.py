@@ -113,6 +113,7 @@ class ShardingOption:
     compute_kernel: ComputeKernel
     shards: List[Shard]
     host: Optional[int] = None
+    dependency: Optional[str] = None  # co-location group (tower)
 
     @property
     def total_perf(self) -> float:
@@ -147,6 +148,10 @@ class ParameterConstraints:
     min_partition: Optional[int] = None
     pooling_factors: Optional[List[float]] = None
     caching_ratio: Optional[float] = None
+    # co-location tag: tables sharing a dependency (e.g. one embedding
+    # tower's tables) must land on the SAME rank; forces TABLE_WISE
+    # (ref: planner/enumerators.py:130-135 tower dependency tagging)
+    dependency: Optional[str] = None
 
 
 # -- pluggable stage interfaces (ref: planner/types.py:268-403) -------------

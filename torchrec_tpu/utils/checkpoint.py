@@ -48,6 +48,8 @@ def save_reshardable(path: str, dmp, state) -> None:
                 flat[f"tables/{key}/{name}"] = np.asarray(
                     w, dtype=np.float32
                 )
+            if not hasattr(ebc, "strategies"):
+                continue  # tower collections: weights reshard, opt restarts
             for strat, gs in zip(ebc.strategies, state.emb_states[key]):
                 for tname, entry in strat.unshard_opt_to_tables(
                     gs.opt
@@ -98,7 +100,7 @@ def load_reshardable(path: str, dmp, state):
     # device fused momenta from canonical per-table form
     new_emb = dict(state.emb_states)
     for key, ebc in dmp.sharded_ebcs.items():
-        if ebc is None:
+        if ebc is None or not hasattr(ebc, "strategies"):
             continue
         prefix = f"opt/{key}/"
         per_table: Dict[str, Dict[str, np.ndarray]] = {}
