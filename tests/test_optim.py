@@ -69,7 +69,9 @@ def test_warmup_schedule_linear_then_constant():
     )
     assert float(sched(0)) == pytest.approx(0.0)
     assert float(sched(5)) == pytest.approx(0.5)
-    assert float(sched(10)) == pytest.approx(0.5)  # constant stage, 0.5x
+    # iter 10 still belongs to the LINEAR stage (transition on iter >
+    # max_iters, ref warmup.py:131-135): multiplier 10/10 = 1.0
+    assert float(sched(10)) == pytest.approx(1.0)
     assert float(sched(15)) == pytest.approx(0.5)
     assert float(sched(25)) == pytest.approx(1.0)  # past all stages
 
@@ -79,8 +81,8 @@ def test_warmup_invsqrt():
         [WarmupStage(WarmupPolicy.INVSQRT, max_iters=100, value=1.0)],
         base_lr=2.0,
     )
-    # at count=25, progress=0.25 -> 1/sqrt(0.25)=2 -> lr 4.0
-    assert float(sched(25)) == pytest.approx(4.0)
+    # reference semantics: 1/sqrt(GLOBAL iter) -> 2.0/sqrt(25) = 0.4
+    assert float(sched(25)) == pytest.approx(0.4)
 
 
 def test_warmup_optimizer_applies_schedule():

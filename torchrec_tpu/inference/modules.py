@@ -146,6 +146,125 @@ class PredictModule:
         return PredictModule(dmp, dense_params, quant_ebcs)
 
 
+class ShardedPredictModule(PredictModule):
+    """Distributed quantized serving: each quant EBC runs as a
+    `ShardedQuantEmbeddingBagCollection` over the inference mesh
+    (TW-planned placements), the reference's §3.5 flow
+    `DistributedModelParallel(quantized, env=ShardingEnv.from_local(...))`
+    -> ShardedQuantEmbeddingBagCollection (quant_embeddingbag.py:62-256,
+    model_parallel.py:43-47)."""
+
+    def __init__(
+        self,
+        dmp,
+        dense_params: Any,
+        quant_ebcs: Dict[str, QuantEmbeddingBagCollection],
+        env,
+        table_ranks: Optional[Dict[str, Dict[str, int]]] = None,
+    ):
+        from torchrec_tpu.parallel.quant_sharded import (
+            ShardedQuantEmbeddingBagCollection,
+        )
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._env = env
+        self._sharded: Dict[str, ShardedQuantEmbeddingBagCollection] = {}
+        for key, q in quant_ebcs.items():
+            self._sharded[key] = ShardedQuantEmbeddingBagCollection(
+                env,
+                q.tables,
+                q.quantized,
+                table_ranks=(table_ranks or {}).get(key),
+                is_weighted=q.is_weighted,
+                max_feature_length=q.max_feature_length,
+            )
+        # dense params replicate onto the INFERENCE mesh (which may be a
+        # different device set than the training mesh)
+        rep = NamedSharding(env.mesh, PartitionSpec())
+        dense_params = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), rep), dense_params
+        )
+        super().__init__(dmp, dense_params, quant_ebcs)
+
+    def _forward(self, quant_arrays, dense_params, *args):
+        sb = self._dmp._find_sparse_arg(args)
+        pooled = {}
+        for key, sq in self._sharded.items():
+            pooled[key] = sq(sb, arrays=quant_arrays[key]).values
+        return self._dmp.swapped.apply(
+            {"params": dense_params, "injected": self._dmp._injected(pooled)},
+            *args,
+        )
+
+    def predict(self, *args):
+        quant_arrays = {
+            key: (sq.data, sq.scale, sq.shift)
+            for key, sq in self._sharded.items()
+        }
+        return self._jitted(quant_arrays, self._dense_params, *args)
+
+    __call__ = predict
+
+
+def _plan_quant_ranks(env, quant_ebcs) -> Dict[str, Dict[str, int]]:
+    """Planned TABLE_WISE placement for quantized serving tables via the
+    cost-model planner under the quant sharder's capability (TW only);
+    round-robin fallback for toy topologies."""
+    from torchrec_tpu.parallel.sharders import (
+        QuantEmbeddingBagCollectionSharder,
+    )
+    from torchrec_tpu.planner import (
+        EmbeddingShardingPlanner,
+        ParameterConstraints,
+        Topology,
+    )
+    from torchrec_tpu.planner.types import PlannerError
+
+    sharder = QuantEmbeddingBagCollectionSharder()
+    out: Dict[str, Dict[str, int]] = {}
+    for key, q in quant_ebcs.items():
+        try:
+            topo = Topology(world_size=env.world_size)
+            constraints = {
+                t.name: ParameterConstraints(
+                    sharding_types=sharder.sharding_types()
+                )
+                for t in q.tables
+            }
+            plan = EmbeddingShardingPlanner(
+                topo, constraints=constraints
+            ).plan(q.tables, module_path="m").plan["m"]
+            out[key] = {
+                name: (ps.ranks[0] if ps.ranks else 0)
+                for name, ps in plan.items()
+            }
+        except PlannerError:
+            out[key] = {
+                t.name: i % env.world_size
+                for i, t in enumerate(q.tables)
+            }
+    return out
+
+
+def shard_quantized(
+    pm: PredictModule,
+    env,
+    table_ranks: Optional[Dict[str, Dict[str, int]]] = None,
+) -> ShardedPredictModule:
+    """Shard a quantized PredictModule over an inference mesh — the
+    explicit-entry equivalent of the reference's
+    `DistributedModelParallel(quantized_model,
+    env=ShardingEnv.from_local(world_size))` (ref SURVEY §3.5 call stack;
+    quant_embeddingbag.py:62). Placements come from the planner
+    constrained by QuantEmbeddingBagCollectionSharder unless given."""
+    if table_ranks is None:
+        table_ranks = _plan_quant_ranks(env, pm._quant_ebcs)
+    return ShardedPredictModule(
+        pm._dmp, pm._dense_params, pm._quant_ebcs, env, table_ranks
+    )
+
+
 class PredictFactory(abc.ABC):
     """ref: inference/modules.py:78 — the serving entry contract."""
 

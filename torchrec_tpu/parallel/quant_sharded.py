@@ -155,8 +155,13 @@ class ShardedQuantEmbeddingBagCollection:
             env, tables, quantized, **kwargs
         )
 
-    def __call__(self, features) -> KeyedTensor:
-        """Replicated batch in -> replicated pooled KeyedTensor out."""
+    def __call__(self, features, arrays=None) -> KeyedTensor:
+        """Replicated batch in -> replicated pooled KeyedTensor out.
+
+        `arrays` optionally supplies (data, scale, shift) as jit ARGUMENTS
+        instead of the stored attributes — closure-captured GB-scale
+        tables become jit constants and re-upload at compile time on
+        remote-attached chips, so serving wrappers pass them explicitly."""
         if isinstance(features, KeyedJaggedTensor):
             features = features.to_padded(self.max_feature_length)
         sb: PaddedSparseBatch = features
@@ -165,6 +170,10 @@ class ShardedQuantEmbeddingBagCollection:
         dim, bits = self.dim, self.bits
         f_max = self.f_max
         n = self.env.world_size
+        data_a, scale_a, shift_a = (
+            arrays if arrays is not None
+            else (self.data, self.scale, self.shift)
+        )
 
         def fwd(data, scale, shift, ids, lengths, psw):
             my = lax.axis_index(AXIS)
@@ -203,7 +212,7 @@ class ShardedQuantEmbeddingBagCollection:
                       P() if not has_w else P()),
             out_specs=P(),
             check_vma=False,
-        )(self.data, self.scale, self.shift, sb.ids, sb.lengths, psw)
+        )(data_a, scale_a, shift_a, sb.ids, sb.lengths, psw)
         # [n*f_max, B, D] -> canonical feature order
         out = slots[jnp.asarray(self.out_pos)]  # [F, B, D]
         values = jnp.concatenate(list(out), axis=1)  # [B, F*D]

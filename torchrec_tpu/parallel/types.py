@@ -106,6 +106,19 @@ class ShardingEnv:
         mesh = Mesh(np.asarray(devices), (ShardingEnv.AXIS,))
         return ShardingEnv(mesh, local_size)
 
+    @staticmethod
+    def from_local(world_size: int) -> "ShardingEnv":
+        """Single-host inference env over the first `world_size` local
+        devices — no training collectives assumed (ref: the
+        process-group-free ShardingEnv.from_local used by quantized
+        inference, types.py:351-363 + quant_embeddingbag.py:62)."""
+        devices = jax.devices()[:world_size]
+        if len(devices) < world_size:
+            raise ValueError(
+                f"from_local({world_size}): only {len(devices)} devices"
+            )
+        return ShardingEnv.from_devices(devices, local_size=world_size)
+
     @property
     def num_hosts(self) -> int:
         return self.world_size // self.local_size
