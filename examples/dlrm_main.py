@@ -45,6 +45,15 @@ def parse_args(argv) -> argparse.Namespace:
     p.add_argument("--lr_after_change_point", type=float, default=None)
     p.add_argument("--eps", type=float, default=1e-8)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_criteo", action="store_true",
+                   help="Criteo-Kaggle-calibrated synthetic stream: "
+                        "published per-feature cardinalities, Zipf ids, "
+                        "logistic ground truth at the published CTR "
+                        "(datasets/synthetic_criteo.py; real Criteo is "
+                        "unreachable without network egress)")
+    p.add_argument("--max_ind_range", type=int, default=1_000_000,
+                   help="cap per-feature cardinality (ref dlrm CLI flag)")
+    p.add_argument("--zipf_a", type=float, default=1.05)
     p.add_argument("--in_memory_binary_criteo_path", type=str, default=None)
     p.add_argument("--undersampled_rate", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -92,6 +101,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
     if args.num_embeddings_per_feature:
         rows_per_feature = [
             int(x) for x in args.num_embeddings_per_feature.split(",")
+        ]
+    elif args.synthetic_criteo:
+        from torchrec_tpu.datasets.synthetic_criteo import (
+            CRITEO_KAGGLE_CARDINALITIES,
+        )
+
+        rows_per_feature = [
+            min(c, args.max_ind_range) for c in CRITEO_KAGGLE_CARDINALITIES
         ]
     else:
         rows_per_feature = [args.num_embeddings] * CAT_FEATURE_COUNT
@@ -177,6 +194,22 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     args.undersampled_rate if stage == "train" else None
                 ),
             )
+        if args.synthetic_criteo:
+            from torchrec_tpu.datasets.synthetic_criteo import (
+                SyntheticCriteoDataset,
+            )
+
+            return SyntheticCriteoDataset(
+                batch_size=args.batch_size,
+                cardinalities=rows_per_feature,
+                keys=keys,
+                zipf_a=args.zipf_a,
+                num_batches=(
+                    args.num_batches if stage == "train"
+                    else max(args.num_batches // 10, 4)
+                ),
+                manual_seed=args.seed + (0 if stage == "train" else 7919),
+            )
         return RandomRecDataset(
             keys=keys,
             batch_size=args.batch_size,
@@ -199,7 +232,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     first = next(iter(make_loader("train")))
     state = dmp.init(jax.random.PRNGKey(args.seed), *batch_args(first))
 
-    if args.synthetic:
+    if args.synthetic or args.synthetic_criteo:
         # batch generation fused INTO the train step: one executable per
         # iteration (executable switches are expensive on remote TPUs)
         gen_fn = make_loader("train").device_batch_fn()
@@ -219,7 +252,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             return jit_step(state, *batch_args(batch))
 
     # compile warmup outside the throughput window (first call compiles)
-    if args.synthetic:
+    if args.synthetic or args.synthetic_criteo:
         _k0 = jax.device_put(jax.random.PRNGKey(args.seed - 1))
         state, _l, _ = fused_step(state, _k0)
         float(_l)
@@ -245,7 +278,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     for epoch in range(args.epochs):
         n, t0 = 0, time.perf_counter()
         losses = []
-        if args.synthetic:
+        if args.synthetic or args.synthetic_criteo:
             key = jax.device_put(jax.random.PRNGKey(args.seed + 17 * epoch))
             for i in range(args.num_batches):
                 state, loss, _ = fused_step(state, key)
