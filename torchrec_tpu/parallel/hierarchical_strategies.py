@@ -205,6 +205,48 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         perm[a], perm[a + 1] = perm[a + 1], perm[a]
         return x.transpose(perm).reshape(*shape)
 
+    def _route_feature_major(self, x: Array) -> Array:
+        """Routed input dist (input_routing="a2a"): deliver each HOST only
+        its own features' blocks instead of all_gathering everything.
+
+        x is a local feature-major array [F, B_loc, ...]. Per destination
+        host h we select x[host_feats[h]] and all_to_all over the
+        cross-host groups (the DCN leg carries f_max/F of the all_gather
+        traffic), then all_gather over the intra-host groups (ICI, cheap)
+        and reorder to the staggered [Lc, H] batch-block layout the rest
+        of the kernel expects (ref: the targeted two-phase exchange,
+        dist_data.py:40-567, vs this strategy's default full all_gather).
+        Returns [f_max, B_global, ...] for MY host's feature slots.
+        """
+        H, Lc = self.H, self.Lc
+        feats = jnp.asarray(self.host_feats).reshape(-1)  # [H * f_max]
+        sel = x[feats].reshape(H, self.f_max, *x.shape[1:])
+        y = lax.all_to_all(
+            sel, AXIS, split_axis=0, concat_axis=2, tiled=True,
+            axis_index_groups=self.cross_groups,
+        )[0]  # [f_max, H*B_loc, ...] blocks ordered by source host h'
+        z = lax.all_gather(
+            y, AXIS, axis=0, tiled=False,
+            axis_index_groups=self.intra_groups,
+        )  # [Lc, f_max, H*B_loc, ...] ordered by source local l'
+        z = jnp.moveaxis(z, 0, 1)  # [f_max, Lc, H*B_loc, ...]
+        return z.reshape(self.f_max, Lc * z.shape[2], *x.shape[2:])
+
+    def _route_inputs(self, ids, lengths, psw, h):
+        """Routed equivalent of all_gather+_stagger+_mine: my host's
+        feature slots over the staggered global batch."""
+        ids_m = self._route_feature_major(ids)
+        fvalid = jnp.asarray(self.host_feat_valid)[h]
+        len_m = self._route_feature_major(lengths) * fvalid[:, None].astype(
+            lengths.dtype
+        )
+        psw_m = None if psw is None else self._route_feature_major(psw)
+        feats = jnp.asarray(self.host_feats)[h]
+        mean_m = jnp.asarray(self.meta.feature_pooling_mean)[feats]
+        sr = jnp.asarray(self.host_feat_sr)[h][:, None, None]
+        off = jnp.asarray(self.host_feat_off)[h][:, None, None]
+        return ids_m, len_m, psw_m, mean_m, sr, off
+
     def _mine(self, ids_s, len_s, psw_s, h):
         feats = jnp.asarray(self.host_feats)[h]
         fvalid = jnp.asarray(self.host_feat_valid)[h]
@@ -231,18 +273,23 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         def fwd(w, ids, lengths, psw):
             my = lax.axis_index(AXIS)
             h, l = my // Lc, my % Lc
-            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            psw_g = (
-                lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                if has_w else None
-            )
-            ids_s = self._stagger(ids_g, 1)
-            len_s = self._stagger(len_g, 1)
-            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
-            ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
-                ids_s, len_s, psw_s, h
-            )
+            if self.input_routing == "a2a":
+                ids_m, len_m, psw_m, mean_m, sr, off = self._route_inputs(
+                    ids, lengths, psw if has_w else None, h
+                )
+            else:
+                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+                psw_g = (
+                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                    if has_w else None
+                )
+                ids_s = self._stagger(ids_g, 1)
+                len_s = self._stagger(len_g, 1)
+                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+                ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
+                    ids_s, len_s, psw_s, h
+                )
             owner_l = ids_m // sr
             local = ids_m % sr + off
             owned = (owner_l == l) & _token_mask(len_m, L)
@@ -280,15 +327,23 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         def upd(w, opt, ids, lengths, psw, d_out, lr):
             my = lax.axis_index(AXIS)
             h, l = my // Lc, my % Lc
-            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            psw_g = (
-                lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                if has_w else None
-            )
-            ids_s = self._stagger(ids_g, 1)
-            len_s = self._stagger(len_g, 1)
-            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+            if self.input_routing == "a2a":
+                ids_m, len_m, psw_m, mean_m, sr, off = self._route_inputs(
+                    ids, lengths, psw if has_w else None, h
+                )
+            else:
+                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+                psw_g = (
+                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                    if has_w else None
+                )
+                ids_s = self._stagger(ids_g, 1)
+                len_s = self._stagger(len_g, 1)
+                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+                ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
+                    ids_s, len_s, psw_s, h
+                )
             # route cotangent back: canonical -> slots -> cross -> intra
             slots = jnp.zeros(
                 (self.H * f_max, d_out.shape[1], D), d_out.dtype
@@ -301,9 +356,6 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 d1, AXIS, axis=1, tiled=True,
                 axis_index_groups=self.intra_groups,
             )  # [f_max, B, D] staggered order (matches ids_s)
-            ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
-                ids_s, len_s, psw_s, h
-            )
             owner_l = ids_m // sr
             local = ids_m % sr + off
             owned = (owner_l == l) & _token_mask(len_m, L)
@@ -433,18 +485,23 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
         def fwd(w, ids, lengths, psw):
             my = lax.axis_index(AXIS)
             h = my // Lc
-            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            psw_g = (
-                lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                if has_w else None
-            )
-            ids_s = self._stagger(ids_g, 1)
-            len_s = self._stagger(len_g, 1)
-            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
-            ids_m, len_m, psw_m, mean_m, _, off = self._mine(
-                ids_s, len_s, psw_s, h
-            )
+            if self.input_routing == "a2a":
+                ids_m, len_m, psw_m, mean_m, _, off = self._route_inputs(
+                    ids, lengths, psw if has_w else None, h
+                )
+            else:
+                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+                psw_g = (
+                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                    if has_w else None
+                )
+                ids_s = self._stagger(ids_g, 1)
+                len_s = self._stagger(len_g, 1)
+                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+                ids_m, len_m, psw_m, mean_m, _, off = self._mine(
+                    ids_s, len_s, psw_s, h
+                )
             coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
             local = ids_m + off
             pooled = pooled_lookup(w[0], local, coeff)  # [f,B,D/Lc]
@@ -478,15 +535,23 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
         def upd(w, opt, ids, lengths, psw, d_out, lr):
             my = lax.axis_index(AXIS)
             h = my // Lc
-            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            psw_g = (
-                lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                if has_w else None
-            )
-            ids_s = self._stagger(ids_g, 1)
-            len_s = self._stagger(len_g, 1)
-            psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+            if self.input_routing == "a2a":
+                ids_m, len_m, psw_m, mean_m, _, off = self._route_inputs(
+                    ids, lengths, psw if has_w else None, h
+                )
+            else:
+                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+                psw_g = (
+                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                    if has_w else None
+                )
+                ids_s = self._stagger(ids_g, 1)
+                len_s = self._stagger(len_g, 1)
+                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+                ids_m, len_m, psw_m, mean_m, _, off = self._mine(
+                    ids_s, len_s, psw_s, h
+                )
             slots = jnp.zeros(
                 (self.H * f_max, d_out.shape[1], self.dim), d_out.dtype
             ).at[jnp.asarray(self.out_pos)].set(d_out)
@@ -498,9 +563,6 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                 d1, AXIS, split_axis=2, concat_axis=1, tiled=True,
                 axis_index_groups=self.intra_groups,
             )  # [f_max, B, D/Lc] staggered
-            ids_m, len_m, psw_m, mean_m, _, off = self._mine(
-                ids_s, len_s, psw_s, h
-            )
             coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
             row_grads = d2[:, :, None, :] * coeff[:, :, :, None]
             valid = _token_mask(len_m, L)

@@ -93,6 +93,14 @@ class BaseEmbeddingShardingStrategy:
         self.meta = meta
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
+        # input id redistribution: "allgather" (default; ids are tiny over
+        # ICI) or "a2a" (hierarchical strategies route each host only its
+        # own features' ids over DCN — the scaling cure when the host
+        # count grows; see NOTES_r2.md cost model and ref
+        # dist_data.py:40-567 two-phase targeted exchange)
+        self.input_routing = self.optim_kwargs.pop(
+            "input_routing", "allgather"
+        )
         self.n = env.world_size
         self.dim = meta.dim
         # table storage dtype (fp32/fp16/bf16); optimizer state and pooled

@@ -52,6 +52,8 @@ class UvmEmbeddingBagCollection:
         optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
         optim_kwargs: Optional[dict] = None,
     ):
+        optim_kwargs = dict(optim_kwargs or {})
+        optim_kwargs.pop("input_routing", None)  # device-strategy-only knob
         self.tables = tuple(tables)
         self._emb_names = embedding_names_by_table(self.tables)
         self.embedding_names = tuple(
