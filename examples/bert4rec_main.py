@@ -28,6 +28,13 @@ def parse_args(argv):
     p.add_argument("--movielens_dir", type=str, default=None)
     p.add_argument("--dataset_name", type=str, default="ml-1m")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_ml1m", action="store_true",
+                   help="ML-1M-calibrated synthetic sequences: 6040 "
+                        "users, 3706-item vocab, Zipf item popularity, "
+                        "the published per-user length distribution "
+                        "(min 20, mean ~165), and genre-structured "
+                        "transitions a sequence model can learn (real "
+                        "ML-1M is unreachable without network egress)")
     p.add_argument("--mode", choices=["dmp", "dp"], default="dmp",
                    help="shard the item table (dmp) or replicate it (dp)")
     p.add_argument("--max_len", type=int, default=64)
@@ -94,6 +101,35 @@ def main(argv: Optional[List[str]] = None) -> dict:
     if args.movielens_dir:
         seqs = load_movielens_sequences(args.movielens_dir)
         vocab = max(max(s) for s in seqs) + 2  # + pad + mask
+    elif args.synthetic_ml1m:
+        # ML-1M-shaped: 6040 users / 3706 movies / 1,000,209 ratings
+        # (published stats). Items carry a latent genre; users watch a
+        # small genre mixture with Zipf-popular items inside each — the
+        # learnable structure standing in for real taste clusters.
+        from torchrec_tpu.datasets.synthetic_criteo import zipf_ids
+
+        n_users, n_items, n_genres = 6040, 3706, 64
+        vocab = n_items + 2  # + pad(0) + mask
+        g_of_item = zipf_ids(rng, n_genres, (n_items,), a=1.1)
+        items_by_genre = [
+            np.where(g_of_item == g)[0] + 1 for g in range(n_genres)
+        ]
+        items_by_genre = [
+            it if len(it) else np.asarray([1]) for it in items_by_genre
+        ]
+        seqs = []
+        for _ in range(n_users):
+            # published per-user count distribution: min 20, mean ~165
+            n = int(np.clip(rng.lognormal(4.56, 0.95), 20, 1000))
+            genres = zipf_ids(rng, n_genres, (3,), a=1.1)
+            cur = genres[rng.randint(3)]
+            s = []
+            for _ in range(n):
+                if rng.rand() < 0.2:
+                    cur = genres[rng.randint(3)]
+                pool = items_by_genre[cur]
+                s.append(int(pool[zipf_ids(rng, len(pool), (1,), 1.05)[0]]))
+            seqs.append(s)
     else:
         # synthetic: shifted arithmetic sequences (learnable)
         vocab = args.vocab_size

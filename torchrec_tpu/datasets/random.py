@@ -31,6 +31,7 @@ class RandomRecDataset:
         num_batches: Optional[int] = None,
         min_ids_per_feature: Optional[int] = None,
         on_device: bool = False,
+        zipf_a: Optional[float] = None,
     ):
         """on_device=True generates each batch with a jitted PRNG program
         directly in device memory — no host->device transfer at all. Use
@@ -52,17 +53,30 @@ class RandomRecDataset:
         self.num_batches = num_batches
         self._seed = manual_seed if manual_seed is not None else 0
         self.on_device = on_device
+        # zipf_a: heavy-tailed ids (duplicate-rich batches, the realistic
+        # Criteo-like distribution) instead of uniform draws
+        self.zipf_a = zipf_a
         self._gen = None
 
     def _batch(self, rng: np.random.RandomState) -> Batch:
         F, B, L = len(self.keys), self.batch_size, self.L
         lengths = rng.randint(self.min_L, L + 1, size=(F, B)).astype(np.int32)
-        ids = np.stack(
-            [
-                rng.randint(0, self.hash_sizes[f], size=(B, L))
-                for f in range(F)
-            ]
-        ).astype(np.int32)
+        if self.zipf_a is not None:
+            from torchrec_tpu.datasets.synthetic_criteo import zipf_ids
+
+            ids = np.stack(
+                [
+                    zipf_ids(rng, self.hash_sizes[f], (B, L), self.zipf_a)
+                    for f in range(F)
+                ]
+            ).astype(np.int32)
+        else:
+            ids = np.stack(
+                [
+                    rng.randint(0, self.hash_sizes[f], size=(B, L))
+                    for f in range(F)
+                ]
+            ).astype(np.int32)
         dense = rng.randn(B, self.num_dense).astype(np.float32)
         labels = rng.randint(0, 2, size=(B,)).astype(np.float32)
         # keep numpy leaves: the train pipeline device_puts the WHOLE batch
@@ -81,14 +95,27 @@ class RandomRecDataset:
         F, B, L = len(self.keys), self.batch_size, self.L
         hashes = jnp.asarray(self.hash_sizes)
 
+        zipf_a = self.zipf_a
+
         def gen(key):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             lengths = jax.random.randint(
                 k1, (F, B), self.min_L, L + 1, dtype=jnp.int32
             )
-            ids = jax.random.randint(
-                k2, (F, B, L), 0, hashes[:, None, None], dtype=jnp.int32
-            )
+            if zipf_a is not None:
+                # bounded power-law inverse CDF (synthetic_criteo.zipf_ids)
+                u = jax.random.uniform(k2, (F, B, L), minval=1e-7)
+                t = 1.0 - zipf_a
+                nf = hashes[:, None, None].astype(jnp.float32)
+                kk = jnp.power(u * (jnp.power(nf, t) - 1.0) + 1.0, 1.0 / t)
+                ids = jnp.clip(
+                    kk.astype(jnp.int32) - 1, 0,
+                    hashes[:, None, None] - 1,
+                )
+            else:
+                ids = jax.random.randint(
+                    k2, (F, B, L), 0, hashes[:, None, None], dtype=jnp.int32
+                )
             dense = jax.random.normal(k3, (B, self.num_dense), jnp.float32)
             labels = jax.random.bernoulli(k4, 0.5, (B,)).astype(jnp.float32)
             sb = PaddedSparseBatch(ids=ids, lengths=lengths, keys=self.keys)

@@ -369,11 +369,37 @@ def apply_fused_update(
             )
         return new_w, opt_state.replace(step=opt_state.step + 1)
 
+    def _gather_rowwise_state(state_1d, fill):
+        """state_1d[uids] for a [R] rowwise optimizer state — via a
+        128-wide row view + lane select. A scalar-row gather costs ~5.2ms
+        at bench shapes on v5e while a 128-wide row gather costs ~1.8ms
+        (both dispatch-bound per row, so width is free up to the tile;
+        tools/bench_rowwise_r2.py): view [R] as [R/128, 128], gather the
+        containing rows, pick the lane. OOB sentinel uids get `fill`."""
+        Rp = -(-R // 128) * 128
+        m2 = (
+            state_1d
+            if Rp == R
+            else jnp.concatenate(
+                [state_1d, jnp.zeros((Rp - R,), state_1d.dtype)]
+            )
+        ).reshape(-1, 128)
+        rid = jnp.minimum(uids // 128, (Rp // 128) - 1)
+        rows = m2.at[rid].get(
+            mode="fill", fill_value=fill, indices_are_sorted=True
+        )  # [N, 128]
+        # lane select as a one-hot masked sum: take_along_axis lowers to
+        # another per-element gather (~2.4ms); the VPU mask-reduce is
+        # memory-bound (~0.8ms measured)
+        oh = jax.nn.one_hot(uids % 128, 128, dtype=state_1d.dtype)
+        vals = (rows * oh).sum(axis=1)
+        return jnp.where(uids < R, vals, jnp.asarray(fill, state_1d.dtype))
+
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         m = opt_state.momentum1
         g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
         new_m = m.at[uids].add(g_sq, mode="drop", **hints)
-        m_rows = new_m.at[uids].get(mode="fill", fill_value=1.0, **hints)
+        m_rows = _gather_rowwise_state(new_m, 1.0)
         if sr_active:
             total_all = g.at[run_start].get(**hints)
             new_w = _sr_set(
@@ -436,9 +462,7 @@ def apply_fused_update(
         m1_rows = opt_state.momentum1.at[uids].get(
             mode="fill", fill_value=0.0, **hints
         )
-        m2_rows = opt_state.momentum2.at[uids].get(
-            mode="fill", fill_value=0.0, **hints
-        )
+        m2_rows = _gather_rowwise_state(opt_state.momentum2, 0.0)
         new_m1_rows = beta1 * m1_rows + (1.0 - beta1) * g
         new_m2_rows = beta2 * m2_rows + (1.0 - beta2) * jnp.mean(
             g * g, axis=1
@@ -469,8 +493,12 @@ def apply_fused_update(
         m1_rows = opt_state.momentum1.at[uids].get(
             mode="fill", fill_value=0.0, **hints
         )
-        m2_rows = opt_state.momentum2.at[uids].get(
-            mode="fill", fill_value=0.0, **hints
+        m2_rows = (
+            _gather_rowwise_state(opt_state.momentum2, 0.0)
+            if rowwise
+            else opt_state.momentum2.at[uids].get(
+                mode="fill", fill_value=0.0, **hints
+            )
         )
         new_m1_rows = beta1 * m1_rows + (1.0 - beta1) * g
         if rowwise:

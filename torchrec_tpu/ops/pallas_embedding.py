@@ -334,41 +334,29 @@ def _sgd_kernel(
     )
 
 
-def _rowwise_adagrad_kernel(
-    ids_ref, valid_ref, w_hbm, m_hbm, g_ref, lr_ref, out_w, out_m,
-    w_s, m_s, rsem, rmsem, wsem, wmsem, *, T, eps, wd,
+def _scaled_update_kernel(
+    ids_ref, valid_ref, w_hbm, g_ref, scale_ref, out_w,
+    w_s, rsem, wsem, *, T, wd,
 ):
+    """w[id] += scale * (g + wd * w[id]) for a wave of T unique rows —
+    the w-row RMW half of rowwise optimizers. The per-row momentum math
+    happens on the XLA side: a scalar-per-row DMA violates Mosaic's
+    (8,128) HBM tiling constraint (r1's [R,1] view failed to compile on
+    real v5e), and XLA's wide-row gather + scalar scatter beat per-row
+    DMA descriptors anyway (tools/bench_rowwise_r2.py)."""
     base = pl.program_id(0) * T
     _start_reads(
         ids_ref, valid_ref, base, T,
-        [
-            (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
-            # momentum is viewed as [R, 1]: leading-dim slices of 2-D HBM
-            # memrefs are DMA-able, 1-D ones are not (tiling constraint)
-            (
-                lambda i: m_hbm.at[i],
-                lambda t: m_s.at[t, pl.ds(0, 1)],
-                rmsem,
-            ),
-        ],
+        [(lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem)],
     )
     g = g_ref[:]
     w = w_s[:]
     if wd:
         g = g + wd * w
-    m_new = m_s[:, 0:1] + jnp.mean(g * g, axis=1, keepdims=True)
-    w_s[:] = w - lr_ref[0, 0] * g / (jnp.sqrt(m_new) + eps)
-    m_s[:, 0:1] = m_new
+    w_s[:] = w + scale_ref[:] * g
     _start_writes(
         ids_ref, valid_ref, base, T,
-        [
-            (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
-            (
-                lambda t: m_s.at[t, pl.ds(0, 1)],
-                lambda i: out_m.at[i],
-                wmsem,
-            ),
-        ],
+        [(lambda t: w_s.at[t], lambda i: out_w.at[i], wsem)],
     )
 
 
@@ -499,54 +487,69 @@ def fused_update_rowwise_adagrad(
     T: int = 128,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
-    """In-place rowwise-Adagrad: momentum [R] holds mean(g^2) per row."""
+    """In-place rowwise-Adagrad: momentum [R] holds mean(g^2) per row.
+
+    Momentum is updated on the XLA side (wide-row gather + scalar
+    scatter); the Pallas kernel streams only the touched w rows through a
+    scaled RMW. uids must be UNIQUE (pre-deduped); >= R skipped."""
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
     valid = (uids < R).astype(jnp.int32)
     ids = jnp.minimum(uids, R - 1)
-    lr2 = jnp.full((1, 1), lr, weights.dtype)
-    m2d = momentum.reshape(R, 1)  # free bitcast; see kernel comment
-    new_w, new_m = pl.pallas_call(
+    hints = dict(indices_are_sorted=True)
+
+    # momentum math (XLA): unique ids -> m_new = m_old + mean(g^2).
+    # L2 weight decay folds into g BEFORE the accumulator (FBGEMM
+    # semantics, matching the XLA path in ops/fused_update.py)
+    if weight_decay:
+        w_rows = weights.at[ids].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True
+        )
+        g = g + weight_decay * w_rows.astype(g.dtype)
+        weight_decay = 0.0  # consumed; kernel applies plain scale*g
+    g_sq = jnp.mean(
+        (g * g).astype(jnp.float32), axis=1
+    ) * valid.astype(jnp.float32)
+    new_m = momentum.at[uids].add(
+        g_sq.astype(momentum.dtype), mode="drop", **hints
+    )
+    m_rows = momentum.at[ids].get(
+        mode="fill", fill_value=0.0, **hints
+    ).astype(jnp.float32) + g_sq
+    scale = jnp.where(
+        valid > 0, -lr / (jnp.sqrt(m_rows) + eps), 0.0
+    ).astype(weights.dtype)[:, None]
+
+    new_w = pl.pallas_call(
         functools.partial(
-            _rowwise_adagrad_kernel,
-            T=T,
-            eps=float(eps),
-            wd=float(weight_decay),
+            _scaled_update_kernel, T=T, wd=float(weight_decay)
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(Np // T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # weights
-                pl.BlockSpec(memory_space=pl.ANY),  # momentum [R]
                 pl.BlockSpec(
                     (T, D), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
                 ),  # g
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # lr
+                pl.BlockSpec(
+                    (T, 1), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
+                ),  # per-row scale
             ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((T, D), weights.dtype),
-                pltpu.VMEM((T, 1), weights.dtype),
-                pltpu.SemaphoreType.DMA((T,)),
-                pltpu.SemaphoreType.DMA((T,)),
                 pltpu.SemaphoreType.DMA((T,)),
                 pltpu.SemaphoreType.DMA((T,)),
             ],
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, D), weights.dtype),
-            jax.ShapeDtypeStruct((R, 1), momentum.dtype),
-        ),
-        input_output_aliases={2: 0, 3: 1},
+        out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
+        input_output_aliases={2: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, valid, weights, m2d, g, lr2)
-    return new_w, new_m.reshape(R)
+    )(ids, valid, weights, g, scale)
+    return new_w, new_m
 
 
 def fused_update_adagrad(
