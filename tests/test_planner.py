@@ -343,8 +343,9 @@ def test_dp_grad_sync_traffic_hand_computed():
     EmbeddingPerfEstimator(topo).estimate(opt)
 
     pooling = C.POOLING_FACTOR_DEFAULT
-    kernel_bw = topo.hbm_mem_bw * C.FUSED_KERNEL_BW_FRACTION
-    compute = (B * pooling * D * 4) / kernel_bw
+    # FUSED rows are dispatch/page-bound: measured per-row cost grows
+    # with the shard's resident bytes (constants.row_access_ns)
+    compute = B * pooling * C.row_access_ns(1000 * D * 4) * 1e-9
     # the DP asymmetry: n x the sparse row-grad bytes over ICI
     output_dist = (B * pooling * D * 4 * n) / topo.ici_bw
     want = 2.0 * output_dist + 3.0 * compute

@@ -23,6 +23,22 @@ DDR_MEM_BW = 51.0  # GB/s
 # lookup-kernel efficiency vs pure HBM roofline (measured: gather+scatter
 # path reaches a fraction of peak; fused path profiled on v5e)
 FUSED_KERNEL_BW_FRACTION = 0.5
+
+# Measured v5e random-row (512B) access cost: ~linear in the shard's
+# resident bytes — DRAM page locality fades as the stride between sorted
+# accesses grows (r2 sweep, NOTES_r2.md: 14.6/28.3/51.6 ns per row at
+# 0.38/1.24/2.86 GiB; the DLRM step at 8.7 GiB tables runs 3.2x slower
+# than at 1.3 GiB). This is why sharding huge tables ROW_WISE across
+# many chips also restores per-row speed: each shard's working set
+# shrinks n-fold.
+ROW_ACCESS_BASE_NS = 8.0
+ROW_ACCESS_NS_PER_GIB = 15.0
+
+
+def row_access_ns(shard_bytes: float) -> float:
+    return ROW_ACCESS_BASE_NS + ROW_ACCESS_NS_PER_GIB * (
+        shard_bytes / 1024**3
+    )
 DENSE_KERNEL_BW_FRACTION = 0.35
 QUANT_KERNEL_BW_FRACTION = 0.6
 

@@ -74,34 +74,49 @@ class EmbeddingPerfEstimator:
         bw_comm = t.ici_bw
         kernel_bw = _kernel_bw(t, option.compute_kernel)
 
+        def compute_time(rows_touched, shard_bytes, cols):
+            """Lookup/update time for `rows_touched` random row accesses
+            against a shard with `shard_bytes` resident.
+
+            FUSED rows are dispatch/page-bound (width-independent) with a
+            per-row cost that grows with the shard's working set
+            (measured, constants.row_access_ns) — the reason splitting a
+            huge table across chips restores per-row speed. Other
+            kernels (DENSE autodiff, QUANT, UVM host path) stay on the
+            bandwidth model."""
+            if option.compute_kernel is ComputeKernel.FUSED:
+                return rows_touched * constants.row_access_ns(
+                    shard_bytes
+                ) * 1e-9
+            return rows_touched * cols * _DTYPE_BYTES / kernel_bw
+
         for shard in option.shards:
             rows, cols = shard.size
+            shard_bytes = rows * cols * _DTYPE_BYTES
             if option.sharding_type is ShardingType.DATA_PARALLEL:
                 input_dist = 0.0
                 # local lookup of local batch
-                compute = (F * B * pooling * cols * _DTYPE_BYTES) / kernel_bw
+                compute = compute_time(F * B * pooling, shard_bytes, cols)
                 # gradient sync of sparse rows (all_gather of row grads)
                 output_dist = (F * B * pooling * cols * _DTYPE_BYTES * n) / bw_comm
             elif option.sharding_type is ShardingType.ROW_WISE:
                 input_dist = ids_bytes / bw_comm
                 # this shard touches ~1/n of the gathered tokens
-                compute = (
-                    F * B * pooling * cols * _DTYPE_BYTES
-                ) / kernel_bw
+                compute = compute_time(F * B * pooling, shard_bytes, cols)
                 # reduce_scatter of partial pooled sums
                 output_dist = pooled_bytes / bw_comm
             elif option.sharding_type is ShardingType.TABLE_WISE:
                 input_dist = ids_bytes / bw_comm
                 # the single owner looks up the WHOLE global batch
-                compute = (
-                    F * B * n * pooling * cols * _DTYPE_BYTES
-                ) / kernel_bw
+                compute = compute_time(
+                    F * B * n * pooling, shard_bytes, cols
+                )
                 output_dist = (pooled_bytes * n) / bw_comm
             elif option.sharding_type is ShardingType.COLUMN_WISE:
                 input_dist = ids_bytes / bw_comm
-                compute = (
-                    F * B * n * pooling * cols * _DTYPE_BYTES
-                ) / kernel_bw
+                compute = compute_time(
+                    F * B * n * pooling, shard_bytes, cols
+                )
                 output_dist = pooled_bytes / bw_comm
             elif option.sharding_type is ShardingType.TABLE_ROW_WISE:
                 # host-pinned rows: intra-host reduce-scatter rides ICI,
@@ -109,9 +124,9 @@ class EmbeddingPerfEstimator:
                 # (ref twrw_sharding.py:441-484; bandwidths §2.5)
                 Lc = t.local_world_size
                 input_dist = ids_bytes / bw_comm
-                compute = (
-                    F * (B * n / Lc) * pooling * cols * _DTYPE_BYTES
-                ) / kernel_bw
+                compute = compute_time(
+                    F * (B * n / Lc) * pooling, shard_bytes, cols
+                )
                 output_dist = (
                     pooled_bytes / bw_comm  # intra reduce-scatter
                     + pooled_bytes * t.num_hosts / t.dcn_bw  # cross a2a
@@ -119,9 +134,9 @@ class EmbeddingPerfEstimator:
             elif option.sharding_type is ShardingType.TABLE_COLUMN_WISE:
                 Lc = t.local_world_size
                 input_dist = ids_bytes / bw_comm
-                compute = (
-                    F * B * n * pooling * cols * _DTYPE_BYTES
-                ) / kernel_bw
+                compute = compute_time(
+                    F * B * n * pooling, shard_bytes, cols
+                )
                 output_dist = (
                     pooled_bytes / bw_comm
                     + pooled_bytes * t.num_hosts / t.dcn_bw
