@@ -272,9 +272,28 @@ def apply_fused_update(
 
     from torchrec_tpu.ops.embedding import _use_pallas
 
-    if _use_pallas(weights.dtype, weights.shape[1], 1) and optim_supports_pallas(
-        opt_state.optim
-    ):
+    # Size-adaptive kernel choice (measured v5e, NOTES_r2.md): XLA's
+    # scatter REWRITES the whole operand, costing
+    # max(~26 ns/row, 2 x table_bytes / 630 GB/s), while the Pallas
+    # per-row RMW kernel streams only touched rows (~67 ns/row,
+    # table-size independent; 14.4 vs 26.2 ms at 8.2 GiB). Pick Pallas
+    # when the stream term dominates — i.e. at HBM-scale shards.
+    N_ids = flat_ids.shape[0]
+    xla_update_cost = max(26e-9 * N_ids, 2.0 * weights.nbytes / 630e9)
+    pallas_update_cost = 67e-9 * N_ids
+    auto_pallas = (
+        pallas_update_cost < xla_update_cost
+        and weights.dtype == jnp.float32
+        and weights.shape[1] % 128 == 0
+        and jax.default_backend() == "tpu"  # interpret mode has no DMA win
+        and not (
+            stochastic_rounding
+            and weights.dtype in (jnp.bfloat16, jnp.float16)
+        )
+    )
+    if (
+        _use_pallas(weights.dtype, weights.shape[1], 1) or auto_pallas
+    ) and optim_supports_pallas(opt_state.optim):
         uids_c, g_c = dedup_row_grads(flat_ids, row_grads, valid, R)
         return _apply_fused_update_pallas(
             weights, opt_state, uids_c, g_c, learning_rate,
@@ -595,23 +614,26 @@ def _apply_fused_update_pallas(
     optim = opt_state.optim
     step = opt_state.step + 1
 
+    # wave sizes bounded by the sflag (DMA semaphore) budget: ~2KB total,
+    # 4 bytes per semaphore, one read+write array pair per streamed
+    # tensor (measured overflow at T=256 with 2 arrays on v5e)
     if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
         new_w = pe.fused_update_sgd(
-            weights, uids, g, lr, weight_decay=weight_decay
+            weights, uids, g, lr, weight_decay=weight_decay, T=128
         )
         return new_w, opt_state.replace(step=step)
 
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         new_w, new_m = pe.fused_update_rowwise_adagrad(
             weights, opt_state.momentum1, uids, g, lr,
-            eps=eps, weight_decay=weight_decay,
+            eps=eps, weight_decay=weight_decay, T=128,
         )
         return new_w, opt_state.replace(momentum1=new_m, step=step)
 
     if optim is EmbOptimType.ADAGRAD:
         new_w, new_m = pe.fused_update_adagrad(
             weights, opt_state.momentum1, uids, g, lr,
-            eps=eps, weight_decay=weight_decay,
+            eps=eps, weight_decay=weight_decay, T=64,
         )
         return new_w, opt_state.replace(momentum1=new_m, step=step)
 
@@ -619,7 +641,7 @@ def _apply_fused_update_pallas(
         new_w, new_m1, new_m2 = pe.fused_update_adam(
             weights, opt_state.momentum1, opt_state.momentum2, uids, g,
             lr, step, eps=eps, weight_decay=weight_decay,
-            beta1=beta1, beta2=beta2,
+            beta1=beta1, beta2=beta2, T=64,
         )
         return new_w, opt_state.replace(
             momentum1=new_m1, momentum2=new_m2, step=step

@@ -268,33 +268,34 @@ tbe_lookup_pooled.defvjp(_tbe_lookup_fwd, _tbe_lookup_bwd)
 # "outputs" are the same HBM buffers the inputs live in.
 
 
-def _start_reads(ids_ref, valid_ref, base, T, srcs_dsts_sems):
+def _start_reads(uids_ref, base, T, R, srcs_dsts_sems):
+    # uids carry validity inline (sentinels >= R): OOB reads clip to the
+    # last row harmlessly; a separate valid array would double the SMEM
+    # prefetch footprint and overflow SMEM at N ~ 200k (832KB each)
     def start(t, _):
+        i = jnp.minimum(uids_ref[base + t], R - 1)
         for src, dst, sem in srcs_dsts_sems:
-            pltpu.make_async_copy(
-                src(ids_ref[base + t]), dst(t), sem.at[t]
-            ).start()
+            pltpu.make_async_copy(src(i), dst(t), sem.at[t]).start()
         return _
 
     jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
+        i = jnp.minimum(uids_ref[base + t], R - 1)
         for src, dst, sem in srcs_dsts_sems:
-            pltpu.make_async_copy(
-                src(ids_ref[base + t]), dst(t), sem.at[t]
-            ).wait()
+            pltpu.make_async_copy(src(i), dst(t), sem.at[t]).wait()
         return _
 
     jax.lax.fori_loop(0, T, wait, None)
 
 
-def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
+def _start_writes(uids_ref, base, T, R, srcs_dsts_sems):
     def start(t, _):
-        @pl.when(valid_ref[base + t] != 0)
+        @pl.when(uids_ref[base + t] < R)
         def _w():
             for src, dst, sem in srcs_dsts_sems:
                 pltpu.make_async_copy(
-                    src(t), dst(ids_ref[base + t]), sem.at[t]
+                    src(t), dst(uids_ref[base + t]), sem.at[t]
                 ).start()
 
         return _
@@ -302,11 +303,11 @@ def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
     jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
-        @pl.when(valid_ref[base + t] != 0)
+        @pl.when(uids_ref[base + t] < R)
         def _w():
             for src, dst, sem in srcs_dsts_sems:
                 pltpu.make_async_copy(
-                    src(t), dst(ids_ref[base + t]), sem.at[t]
+                    src(t), dst(uids_ref[base + t]), sem.at[t]
                 ).wait()
 
         return _
@@ -315,12 +316,12 @@ def _start_writes(ids_ref, valid_ref, base, T, srcs_dsts_sems):
 
 
 def _sgd_kernel(
-    ids_ref, valid_ref, w_hbm, g_ref, lr_ref, out_w, w_s, rsem, wsem,
-    *, T, wd,
+    ids_ref, w_hbm, g_ref, lr_ref, out_w, w_s, rsem, wsem,
+    *, T, wd, R,
 ):
     base = pl.program_id(0) * T
     _start_reads(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [(lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem)],
     )
     g = g_ref[:]
@@ -329,14 +330,14 @@ def _sgd_kernel(
         g = g + wd * w
     w_s[:] = w - lr_ref[0, 0] * g
     _start_writes(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [(lambda t: w_s.at[t], lambda i: out_w.at[i], wsem)],
     )
 
 
 def _scaled_update_kernel(
-    ids_ref, valid_ref, w_hbm, g_ref, scale_ref, out_w,
-    w_s, rsem, wsem, *, T, wd,
+    ids_ref, w_hbm, g_ref, scale_ref, out_w,
+    w_s, rsem, wsem, *, T, wd, R,
 ):
     """w[id] += scale * (g + wd * w[id]) for a wave of T unique rows —
     the w-row RMW half of rowwise optimizers. The per-row momentum math
@@ -346,7 +347,7 @@ def _scaled_update_kernel(
     DMA descriptors anyway (tools/bench_rowwise_r2.py)."""
     base = pl.program_id(0) * T
     _start_reads(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [(lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem)],
     )
     g = g_ref[:]
@@ -355,18 +356,18 @@ def _scaled_update_kernel(
         g = g + wd * w
     w_s[:] = w + scale_ref[:] * g
     _start_writes(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [(lambda t: w_s.at[t], lambda i: out_w.at[i], wsem)],
     )
 
 
 def _adagrad_kernel(
-    ids_ref, valid_ref, w_hbm, m_hbm, g_ref, lr_ref, out_w, out_m,
-    w_s, m_s, rsem, rmsem, wsem, wmsem, *, T, eps, wd,
+    ids_ref, w_hbm, m_hbm, g_ref, lr_ref, out_w, out_m,
+    w_s, m_s, rsem, rmsem, wsem, wmsem, *, T, eps, wd, R,
 ):
     base = pl.program_id(0) * T
     _start_reads(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [
             (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
             (lambda i: m_hbm.at[i], lambda t: m_s.at[t], rmsem),
@@ -380,7 +381,7 @@ def _adagrad_kernel(
     w_s[:] = w - lr_ref[0, 0] * g / (jnp.sqrt(m_new) + eps)
     m_s[:] = m_new
     _start_writes(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [
             (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
             (lambda t: m_s.at[t], lambda i: out_m.at[i], wmsem),
@@ -389,14 +390,14 @@ def _adagrad_kernel(
 
 
 def _adam_kernel(
-    ids_ref, valid_ref, w_hbm, m1_hbm, m2_hbm, g_ref, lr_ref, bc_ref,
+    ids_ref, w_hbm, m1_hbm, m2_hbm, g_ref, lr_ref, bc_ref,
     out_w, out_m1, out_m2, w_s, m1_s, m2_s,
     rsem, r1sem, r2sem, wsem, w1sem, w2sem,
-    *, T, eps, wd, beta1, beta2,
+    *, T, eps, wd, beta1, beta2, R,
 ):
     base = pl.program_id(0) * T
     _start_reads(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [
             (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
             (lambda i: m1_hbm.at[i], lambda t: m1_s.at[t], r1sem),
@@ -416,7 +417,7 @@ def _adam_kernel(
     m1_s[:] = m1
     m2_s[:] = m2
     _start_writes(
-        ids_ref, valid_ref, base, T,
+        ids_ref, base, T, R,
         [
             (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
             (lambda t: m1_s.at[t], lambda i: out_m1.at[i], w1sem),
@@ -447,13 +448,11 @@ def fused_update_sgd(
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
-    valid = (uids < R).astype(jnp.int32)
-    ids = jnp.minimum(uids, R - 1)
     lr2 = jnp.full((1, 1), lr, weights.dtype)
     return pl.pallas_call(
-        functools.partial(_sgd_kernel, T=T, wd=float(weight_decay)),
+        functools.partial(_sgd_kernel, T=T, wd=float(weight_decay), R=R),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(Np // T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # weights
@@ -470,10 +469,10 @@ def fused_update_sgd(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
-        input_output_aliases={2: 0},
+        input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, valid, weights, g, lr2)
+    )(uids, weights, g, lr2)
 
 
 def fused_update_rowwise_adagrad(
@@ -496,7 +495,7 @@ def fused_update_rowwise_adagrad(
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
     valid = (uids < R).astype(jnp.int32)
-    ids = jnp.minimum(uids, R - 1)
+    ids = jnp.minimum(uids, R - 1)  # XLA-side momentum math only
     hints = dict(indices_are_sorted=True)
 
     # momentum math (XLA): unique ids -> m_new = m_old + mean(g^2).
@@ -523,10 +522,10 @@ def fused_update_rowwise_adagrad(
 
     new_w = pl.pallas_call(
         functools.partial(
-            _scaled_update_kernel, T=T, wd=float(weight_decay)
+            _scaled_update_kernel, T=T, wd=float(weight_decay), R=R
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(Np // T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # weights
@@ -545,10 +544,10 @@ def fused_update_rowwise_adagrad(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
-        input_output_aliases={2: 0},
+        input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, valid, weights, g, scale)
+    )(uids, weights, g, scale)
     return new_w, new_m
 
 
@@ -567,15 +566,14 @@ def fused_update_adagrad(
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
-    valid = (uids < R).astype(jnp.int32)
-    ids = jnp.minimum(uids, R - 1)
     lr2 = jnp.full((1, 1), lr, weights.dtype)
     return pl.pallas_call(
         functools.partial(
-            _adagrad_kernel, T=T, eps=float(eps), wd=float(weight_decay)
+            _adagrad_kernel, T=T, eps=float(eps), wd=float(weight_decay),
+            R=R,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(Np // T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -602,10 +600,10 @@ def fused_update_adagrad(
             jax.ShapeDtypeStruct((R, D), weights.dtype),
             jax.ShapeDtypeStruct((R, D), momentum.dtype),
         ),
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, valid, weights, momentum, g, lr2)
+    )(uids, weights, momentum, g, lr2)
 
 
 def fused_update_adam(
@@ -627,8 +625,6 @@ def fused_update_adam(
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
-    valid = (uids < R).astype(jnp.int32)
-    ids = jnp.minimum(uids, R - 1)
     lr2 = jnp.full((1, 1), lr, weights.dtype)
     t = step.astype(weights.dtype)
     bc = jnp.stack(
@@ -642,9 +638,10 @@ def fused_update_adam(
             wd=float(weight_decay),
             beta1=float(beta1),
             beta2=float(beta2),
+            R=R,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(Np // T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -678,7 +675,7 @@ def fused_update_adam(
             jax.ShapeDtypeStruct((R, D), momentum1.dtype),
             jax.ShapeDtypeStruct((R, D), momentum2.dtype),
         ),
-        input_output_aliases={2: 0, 3: 1, 4: 2},
+        input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, valid, weights, momentum1, momentum2, g, lr2, bc)
+    )(uids, weights, momentum1, momentum2, g, lr2, bc)

@@ -376,6 +376,11 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
                       P(None, AXIS), psw_spec, P(None, AXIS), P()),
             out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # the fused update may dispatch a Pallas RMW kernel
+            # (size-adaptive, ops/fused_update.py) whose out_shape carries
+            # no vma annotation — the static VMA check cannot see through
+            # the custom call
+            check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
@@ -582,6 +587,11 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
                       P(None, AXIS), psw_spec, P(None, AXIS), P()),
             out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # the fused update may dispatch a Pallas RMW kernel
+            # (size-adaptive, ops/fused_update.py) whose out_shape carries
+            # no vma annotation — the static VMA check cannot see through
+            # the custom call
+            check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)

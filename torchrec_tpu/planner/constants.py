@@ -24,20 +24,28 @@ DDR_MEM_BW = 51.0  # GB/s
 # path reaches a fraction of peak; fused path profiled on v5e)
 FUSED_KERNEL_BW_FRACTION = 0.5
 
-# Measured v5e random-row (512B) access cost: ~linear in the shard's
-# resident bytes — DRAM page locality fades as the stride between sorted
-# accesses grows (r2 sweep, NOTES_r2.md: 14.6/28.3/51.6 ns per row at
-# 0.38/1.24/2.86 GiB; the DLRM step at 8.7 GiB tables runs 3.2x slower
-# than at 1.3 GiB). This is why sharding huge tables ROW_WISE across
-# many chips also restores per-row speed: each shard's working set
-# shrinks n-fold.
-ROW_ACCESS_BASE_NS = 8.0
-ROW_ACCESS_NS_PER_GIB = 15.0
+# Measured v5e random-row (512B) fused-kernel cost model (r2,
+# NOTES_r2.md "Scatter is stream-bound at scale"):
+#   gather:  ~8.6 ns/row, INDEPENDENT of table size;
+#   scatter: max(per-row dispatch ~26 ns/row,
+#                full-operand stream 2 x shard_bytes / 630 GB/s)
+# — XLA's scatter rewrites the whole operand, so beyond ~2 GiB/shard the
+# update is stream-bound (the DLRM step at 8.7 GiB tables runs 3.2x
+# slower than at 1.3 GiB). Splitting huge tables across devices shrinks
+# each shard's stream term n-fold.
+GATHER_NS_PER_ROW = 8.6
+SCATTER_NS_PER_ROW = 26.0
+STREAM_BW_BYTES_S = 630.0e9
 
 
-def row_access_ns(shard_bytes: float) -> float:
-    return ROW_ACCESS_BASE_NS + ROW_ACCESS_NS_PER_GIB * (
-        shard_bytes / 1024**3
+def fused_lookup_s(rows_touched: float) -> float:
+    return rows_touched * GATHER_NS_PER_ROW * 1e-9
+
+
+def fused_update_s(rows_touched: float, shard_bytes: float) -> float:
+    return max(
+        rows_touched * SCATTER_NS_PER_ROW * 1e-9,
+        2.0 * shard_bytes / STREAM_BW_BYTES_S,
     )
 DENSE_KERNEL_BW_FRACTION = 0.35
 QUANT_KERNEL_BW_FRACTION = 0.6

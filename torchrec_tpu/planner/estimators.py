@@ -75,20 +75,21 @@ class EmbeddingPerfEstimator:
         kernel_bw = _kernel_bw(t, option.compute_kernel)
 
         def compute_time(rows_touched, shard_bytes, cols):
-            """Lookup/update time for `rows_touched` random row accesses
-            against a shard with `shard_bytes` resident.
+            """Lookup + update time for `rows_touched` random row
+            accesses against a shard with `shard_bytes` resident.
 
-            FUSED rows are dispatch/page-bound (width-independent) with a
-            per-row cost that grows with the shard's working set
-            (measured, constants.row_access_ns) — the reason splitting a
-            huge table across chips restores per-row speed. Other
-            kernels (DENSE autodiff, QUANT, UVM host path) stay on the
-            bandwidth model."""
+            FUSED kernels follow the measured v5e model (NOTES_r2.md):
+            gather is ~8.6 ns/row regardless of table size; the update
+            scatter is max(26 ns/row, streaming the whole shard at
+            630 GB/s) — so splitting a huge table across devices shrinks
+            each shard's stream term. Other kernels (DENSE autodiff,
+            QUANT, UVM host path) stay on the bandwidth model."""
             if option.compute_kernel is ComputeKernel.FUSED:
-                return rows_touched * constants.row_access_ns(
-                    shard_bytes
-                ) * 1e-9
-            return rows_touched * cols * _DTYPE_BYTES / kernel_bw
+                return constants.fused_lookup_s(
+                    rows_touched
+                ) + constants.fused_update_s(rows_touched, shard_bytes)
+            # fwd + bwd + update passes over the touched bytes
+            return 3.0 * rows_touched * cols * _DTYPE_BYTES / kernel_bw
 
         for shard in option.shards:
             rows, cols = shard.size
@@ -143,8 +144,9 @@ class EmbeddingPerfEstimator:
                 )
             else:
                 raise NotImplementedError(option.sharding_type)
-            # fwd + bwd symmetric traffic; update doubles compute bytes
-            shard.perf = 2.0 * (input_dist + output_dist) + 3.0 * compute
+            # fwd + bwd symmetric collective traffic; compute_time already
+            # covers the fwd lookup + bwd update passes
+            shard.perf = 2.0 * (input_dist + output_dist) + compute
 
 
 class EmbeddingStorageEstimator:
