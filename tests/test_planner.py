@@ -343,12 +343,15 @@ def test_dp_grad_sync_traffic_hand_computed():
     EmbeddingPerfEstimator(topo).estimate(opt)
 
     pooling = C.POOLING_FACTOR_DEFAULT
-    # FUSED rows are dispatch/page-bound: measured per-row cost grows
-    # with the shard's resident bytes (constants.row_access_ns)
-    compute = B * pooling * C.row_access_ns(1000 * D * 4) * 1e-9
+    # measured v5e two-regime FUSED model: gather per-row + update
+    # scatter max(per-row dispatch, full-shard stream)
+    rows_touched = B * pooling
+    compute = C.fused_lookup_s(rows_touched) + C.fused_update_s(
+        rows_touched, 1000 * D * 4
+    )
     # the DP asymmetry: n x the sparse row-grad bytes over ICI
     output_dist = (B * pooling * D * 4 * n) / topo.ici_bw
-    want = 2.0 * output_dist + 3.0 * compute
+    want = 2.0 * output_dist + compute
     assert opt.shards[0].perf == pytest.approx(want, rel=1e-9)
 
     # and it grows linearly with world size (the reference's allreduce
