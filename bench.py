@@ -203,6 +203,12 @@ def _lookup_roofline():
 
 def main():
     fast = os.environ.get("TORCHREC_BENCH_FAST") == "1"
+    # full-suite guard: always print the JSON line even if a harness
+    # timeout looms — each extra suite only starts inside the budget
+    # (the HBM config alone costs ~3 min of Pallas compile + 9 GiB of
+    # relay uploads; full suite ~40 min measured r2)
+    budget_s = float(os.environ.get("TORCHREC_BENCH_BUDGET_S", 3000))
+    t_start = time.time()
     out = {}
 
     dmp = _build("exact_sgd", ROWS)
@@ -215,19 +221,25 @@ def main():
             "vs_baseline": round(ex_s / BASELINE_PER_GPU, 4),
         }
     )
-    if not fast:
+
+    def in_budget(need_s):
+        return not fast and time.time() - t_start < budget_s - need_s
+
+    if in_budget(360):
         del dmp
         rw = _throughput(_build("rowwise_adagrad", ROWS), ROWS)
         out["rowwise_adagrad"] = {
             "value": round(rw, 1),
             "vs_baseline": round(rw / BASELINE_PER_GPU, 4),
         }
+    if in_budget(360):
         zipf = _throughput(_build("exact_sgd", ROWS), ROWS, zipf_a=1.05)
         out["zipf"] = {
             "value": round(zipf, 1),
             "vs_baseline": round(zipf / BASELINE_PER_GPU, 4),
             "zipf_a": 1.05,
         }
+    if in_budget(1200):
         hbm = _throughput(_build("exact_sgd", HBM_ROWS), HBM_ROWS)
         out["hbm_scale"] = {
             "value": round(hbm, 1),
@@ -237,9 +249,8 @@ def main():
             ),
         }
         # (hbm_scale with Zipf ids measured within noise of uniform —
-        # r2: 227k vs 229k — so only the uniform HBM suite runs by
-        # default; the giant-table configs pay ~3 min of Pallas compile
-        # plus 9 GiB relay uploads each)
+        # r2: 227k vs 229k — so only the uniform HBM suite runs)
+    if in_budget(300):
         out["lookup_roofline"] = _lookup_roofline()
     print(json.dumps(out))
 
