@@ -63,6 +63,9 @@ def parse_args(argv) -> argparse.Namespace:
                    help="compute dtype of the dense arches (bf16 = the "
                         "TPU analogue of the reference's TF32)")
     p.add_argument("--shuffle_batches", action="store_true")
+    p.add_argument("--mmap_mode", action="store_true",
+                   help="memory-map the Criteo npy files instead of "
+                        "loading them into RAM (ref dlrm CLI flag)")
     p.add_argument("--validation_freq_within_epoch", type=int, default=None)
     p.add_argument("--save_dir", type=str, default=None,
                    help="write a re-shardable checkpoint after training "
@@ -190,6 +193,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 hashes=rows_per_feature,
                 shuffle_batches=args.shuffle_batches and stage == "train",
                 seed=args.seed,
+                mmap_mode=args.mmap_mode,
                 undersampling_rate=(
                     args.undersampled_rate if stage == "train" else None
                 ),

@@ -123,3 +123,38 @@ def test_bert4rec_movielens_sequence_loader(tmp_path):
     assert seqs[0][0] == 1
     # shared movies map to the same ids across users
     assert seqs[1][:4] == [seqs[0][1], seqs[0][2], seqs[0][0], seqs[0][3]]
+
+
+def test_dlrm_predict_serving_smoke(tmp_path):
+    """Train -> package -> serve through the dlrm_predict CLI: the full
+    ref examples/dlrm/dlrm_packager.py + dlrm_predict.py loop."""
+    from examples.dlrm_main import main as train_main
+    from examples.dlrm_predict import main as predict_main
+
+    pkg = str(tmp_path / "pkg")
+    train_main([
+        "--synthetic", "--batch_size", "64", "--num_batches", "4",
+        "--embedding_dim", "16", "--dense_arch_layer_sizes", "16,16",
+        "--over_arch_layer_sizes", "16,1", "--num_embeddings", "100",
+        "--package_dir", pkg,
+    ])
+    r = predict_main([
+        "--package_dir", pkg, "--world_size", "4",
+        "--batch_size", "32", "--num_requests", "3",
+        "--embedding_dim", "16",
+        "--dense_arch_layer_sizes", "16,16",
+        "--over_arch_layer_sizes", "16,1",
+    ])
+    assert r["qps"] > 0 and r["predictions_per_sec"] > 0
+
+
+def test_dlrm_main_synthetic_criteo_smoke():
+    from examples.dlrm_main import main
+
+    r = main([
+        "--synthetic_criteo", "--batch_size", "64", "--num_batches", "5",
+        "--max_ind_range", "500", "--embedding_dim", "16",
+        "--dense_arch_layer_sizes", "16,16",
+        "--over_arch_layer_sizes", "16,1",
+    ])
+    assert np.isfinite(r["auroc"]) and r["throughput"] > 0
