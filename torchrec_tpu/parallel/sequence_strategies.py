@@ -142,6 +142,9 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
             in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
                       P(None, AXIS), P(None, AXIS), P()),
             out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # fused update may dispatch a Pallas RMW custom call
+            # (size-adaptive); the VMA check cannot see through it
+            check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
@@ -211,6 +214,9 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
             in_specs=(P(AXIS), self._opt_specs(sharded=True), P(None, AXIS),
                       P(None, AXIS), P(None, AXIS), P()),
             out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # fused update may dispatch a Pallas RMW custom call
+            # (size-adaptive); the VMA check cannot see through it
+            check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
@@ -312,6 +318,7 @@ class TwRwSequenceEmbeddingSharding:
                               P(None, AXIS), P(None, AXIS), P(None, AXIS),
                               P()),
                     out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+                    check_vma=False,  # Pallas custom call opaque to VMA
                 )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
                   jnp.asarray(learning_rate, jnp.float32))
                 return EmbeddingGroupState(weights=new_w, opt=new_opt)
