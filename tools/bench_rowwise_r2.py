@@ -129,7 +129,7 @@ def main():
         def pallas_rw(c):
             w, m, uids = c
             new_w, new_m = fused_update_rowwise_adagrad(
-                w, m, uids, sums0, jnp.float32(0.01), T=256,
+                w, m, uids, sums0, jnp.float32(0.01), T=128,
                 interpret=False,
             )
             return (new_w, new_m, (uids + 1) % R)
