@@ -225,33 +225,47 @@ def main():
     def in_budget(need_s):
         return not fast and time.time() - t_start < budget_s - need_s
 
-    if in_budget(360):
-        del dmp
+    def suite(name, need_s, fn):
+        """Optional suites never lose the already-measured headline:
+        skipped out of budget, and exceptions are reported in-line."""
+        if not in_budget(need_s):
+            return
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": repr(e)[:300]}
+
+    def _rw():
         rw = _throughput(_build("rowwise_adagrad", ROWS), ROWS)
-        out["rowwise_adagrad"] = {
+        return {
             "value": round(rw, 1),
             "vs_baseline": round(rw / BASELINE_PER_GPU, 4),
         }
-    if in_budget(360):
-        zipf = _throughput(_build("exact_sgd", ROWS), ROWS, zipf_a=1.05)
-        out["zipf"] = {
-            "value": round(zipf, 1),
-            "vs_baseline": round(zipf / BASELINE_PER_GPU, 4),
+
+    def _zipf():
+        z = _throughput(_build("exact_sgd", ROWS), ROWS, zipf_a=1.05)
+        return {
+            "value": round(z, 1),
+            "vs_baseline": round(z / BASELINE_PER_GPU, 4),
             "zipf_a": 1.05,
         }
-    if in_budget(1200):
+
+    def _hbm():
+        # (hbm_scale with Zipf ids measured within noise of uniform —
+        # r2: 227k vs 229k — so only the uniform HBM suite runs)
         hbm = _throughput(_build("exact_sgd", HBM_ROWS), HBM_ROWS)
-        out["hbm_scale"] = {
+        return {
             "value": round(hbm, 1),
             "vs_baseline": round(hbm / BASELINE_PER_GPU, 4),
             "table_gib": round(
                 NUM_TABLES * HBM_ROWS * DIM * 4 / 1024**3, 2
             ),
         }
-        # (hbm_scale with Zipf ids measured within noise of uniform —
-        # r2: 227k vs 229k — so only the uniform HBM suite runs)
-    if in_budget(300):
-        out["lookup_roofline"] = _lookup_roofline()
+
+    suite("rowwise_adagrad", 360, _rw)
+    suite("zipf", 360, _zipf)
+    suite("hbm_scale", 1200, _hbm)
+    suite("lookup_roofline", 300, _lookup_roofline)
     print(json.dumps(out))
 
 

@@ -234,3 +234,87 @@ def test_uvm_shared_table_duplicate_combined_update():
         stochastic_rounding=False,
     )
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_tower_accepts_input_routing_fused_param():
+    """fused_params carrying strategy-only knobs (input_routing) must not
+    leak into the tower collection's apply_fused_update call."""
+    from torchrec_tpu.modules.embedding_tower import (
+        EmbeddingTower,
+        EmbeddingTowerCollection,
+    )
+    from torchrec_tpu.modules.mlp import MLP
+
+    class M(nn.Module):
+        etc: EmbeddingTowerCollection
+
+        @nn.compact
+        def __call__(self, sb, labels):
+            """Call Args: sb padded batch; labels [B]. Returns
+            (loss, (loss, logits))."""
+            logits = nn.Dense(1)(self.etc(sb))[:, 0]
+            loss = jnp.mean((logits - labels) ** 2)
+            return loss, (loss, logits)
+
+    tower = EmbeddingTower(
+        embedding_module=EmbeddingBagCollection(
+            tables=(EmbeddingBagConfig(
+                num_embeddings=32, embedding_dim=8, name="tt",
+                feature_names=["ft"]),),
+            max_feature_length=1,
+        ),
+        interaction_module=MLP(layer_sizes=(4,)),
+    )
+    model = M(etc=EmbeddingTowerCollection(towers=(tower,)))
+    dmp = DistributedModelParallel(
+        model,
+        env=ShardingEnv.from_devices(),
+        fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+        fused_params={"learning_rate": 0.1, "input_routing": "a2a"},
+    )
+    rng = np.random.RandomState(0)
+    sb = KeyedJaggedTensor.from_lengths(
+        ["ft"], jnp.asarray(rng.randint(0, 32, 8).astype(np.int32)),
+        jnp.asarray(np.ones(8, np.int32)),
+    ).to_padded(1)
+    labels = jnp.zeros((8,), jnp.float32)
+    state = dmp.init(jax.random.PRNGKey(0), sb, labels)
+    step = dmp.make_train_step(donate=False)
+    _, loss, _ = step(state, sb, labels)  # r2 advisor: raised TypeError
+    assert np.isfinite(float(loss))
+
+
+def test_zipf_a_exactly_one_device_generator():
+    """zipf_a=1.0 (the classic exponent) must not divide by zero in the
+    on-device generators."""
+    from torchrec_tpu.datasets.random import RandomRecDataset
+    from torchrec_tpu.datasets.synthetic_criteo import SyntheticCriteoDataset
+
+    gen = jax.jit(RandomRecDataset(
+        keys=["f0"], batch_size=16, hash_sizes=[1000],
+        ids_per_feature=1, num_dense=2, on_device=True, zipf_a=1.0,
+    ).device_batch_fn())
+    b = gen(jax.random.PRNGKey(0))
+    ids = np.asarray(b.sparse_features.ids)
+    assert ids.min() >= 0 and ids.max() < 1000
+
+    ds = SyntheticCriteoDataset(batch_size=64, zipf_a=1.0,
+                                max_ind_range=1000)
+    b2 = jax.jit(ds.device_batch_fn())(jax.random.PRNGKey(1))
+    assert int(np.asarray(b2.sparse_features.ids).max()) < 1000
+
+
+def test_single_column_shard_momentum_reshards():
+    """CW on a 1-device mesh saves [1, R] rowwise momentum; reloading it
+    into a padded multi-device RW plan must flatten to row space (r2
+    advisor finding)."""
+    from torchrec_tpu.parallel.strategies import (
+        BaseEmbeddingShardingStrategy,
+    )
+
+    arr = np.arange(10, dtype=np.float32)[None]  # [1, R]
+    out = BaseEmbeddingShardingStrategy._convert_rowspace(arr, 1)
+    assert out.ndim == 1 and np.array_equal(out, np.arange(10))
+    out4 = BaseEmbeddingShardingStrategy._convert_rowspace(arr, 4)
+    assert out4.shape == (4, 10)
+    np.testing.assert_allclose(out4.sum(axis=0), np.arange(10))

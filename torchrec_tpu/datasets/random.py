@@ -103,11 +103,17 @@ class RandomRecDataset:
                 k1, (F, B), self.min_L, L + 1, dtype=jnp.int32
             )
             if zipf_a is not None:
-                # bounded power-law inverse CDF (synthetic_criteo.zipf_ids)
+                # bounded power-law inverse CDF (synthetic_criteo.zipf_ids);
+                # a == 1 uses the log-space closed form (1/t diverges)
                 u = jax.random.uniform(k2, (F, B, L), minval=1e-7)
-                t = 1.0 - zipf_a
                 nf = hashes[:, None, None].astype(jnp.float32)
-                kk = jnp.power(u * (jnp.power(nf, t) - 1.0) + 1.0, 1.0 / t)
+                if abs(zipf_a - 1.0) < 1e-6:
+                    kk = jnp.power(nf, u)
+                else:
+                    t = 1.0 - zipf_a
+                    kk = jnp.power(
+                        u * (jnp.power(nf, t) - 1.0) + 1.0, 1.0 / t
+                    )
                 ids = jnp.clip(
                     kk.astype(jnp.int32) - 1, 0,
                     hashes[:, None, None] - 1,

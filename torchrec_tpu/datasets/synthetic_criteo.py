@@ -235,10 +235,13 @@ class SyntheticCriteoDataset:
             u = jax.random.uniform(
                 k1, (F, B), minval=1e-7, maxval=1.0
             )
-            t = 1.0 - a
-            k = jnp.power(
-                u * (jnp.power(cards[:, None], t) - 1.0) + 1.0, 1.0 / t
-            )
+            if abs(a - 1.0) < 1e-6:  # log-space form; 1/(1-a) diverges
+                k = jnp.power(cards[:, None], u)
+            else:
+                t = 1.0 - a
+                k = jnp.power(
+                    u * (jnp.power(cards[:, None], t) - 1.0) + 1.0, 1.0 / t
+                )
             ids = jnp.clip(
                 k.astype(jnp.int32) - 1,
                 0,

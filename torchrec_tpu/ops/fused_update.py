@@ -272,24 +272,19 @@ def apply_fused_update(
 
     from torchrec_tpu.ops.embedding import _use_pallas
 
-    # Size-adaptive kernel choice (measured v5e, NOTES_r2.md): XLA's
-    # scatter REWRITES the whole operand, costing
-    # max(~26 ns/row, 2 x table_bytes / 630 GB/s), while the Pallas
-    # per-row RMW kernel streams only touched rows (~67 ns/row,
-    # table-size independent; 14.4 vs 26.2 ms at 8.2 GiB). Pick Pallas
-    # when the stream term dominates — i.e. at HBM-scale shards.
+    # Size-adaptive kernel choice (measured v5e, ops/cost_model.py +
+    # NOTES_r2.md): XLA's scatter REWRITES the whole operand, while the
+    # Pallas per-row RMW streams only touched rows (table-size
+    # independent; 14.4 vs 26.2 ms at 8.2 GiB). Pick Pallas when the
+    # stream term dominates — i.e. at HBM-scale shards.
+    from torchrec_tpu.ops.cost_model import pallas_update_s, xla_update_s
+
     N_ids = flat_ids.shape[0]
-    xla_update_cost = max(26e-9 * N_ids, 2.0 * weights.nbytes / 630e9)
-    pallas_update_cost = 67e-9 * N_ids
     auto_pallas = (
-        pallas_update_cost < xla_update_cost
+        pallas_update_s(N_ids) < xla_update_s(N_ids, weights.nbytes)
         and weights.dtype == jnp.float32
         and weights.shape[1] % 128 == 0
         and jax.default_backend() == "tpu"  # interpret mode has no DMA win
-        and not (
-            stochastic_rounding
-            and weights.dtype in (jnp.bfloat16, jnp.float16)
-        )
     )
     if (
         _use_pallas(weights.dtype, weights.shape[1], 1) or auto_pallas

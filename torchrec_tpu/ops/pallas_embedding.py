@@ -559,10 +559,11 @@ def fused_update_adagrad(
     lr: Array,
     eps: float = 1.0e-8,
     weight_decay: float = 0.0,
-    T: int = 128,
+    T: int = 64,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
-    """In-place (elementwise) Adagrad: momentum [R, D]."""
+    """In-place (elementwise) Adagrad: momentum [R, D]. Default T=64:
+    4 DMA-semaphore arrays x T x 4B must fit the ~2KB sflag budget."""
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
@@ -618,10 +619,12 @@ def fused_update_adam(
     weight_decay: float = 0.0,
     beta1: float = 0.9,
     beta2: float = 0.999,
-    T: int = 128,
+    T: int = 64,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
-    """In-place Adam; `step` is the (already incremented) step count."""
+    """In-place Adam; `step` is the (already incremented) step count.
+    Default T=64: 6 DMA-semaphore arrays x T x 4B must fit the ~2KB
+    sflag budget (overflow measured at 512 semaphores on v5e)."""
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)

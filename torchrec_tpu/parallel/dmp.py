@@ -539,6 +539,13 @@ class DistributedModelParallel:
             ranks = set()
             for t in tw.embedding_module.tables:
                 ps = module_plan[t.name]
+                if ps.sharding_type is not ShardingType.TABLE_WISE:
+                    raise ValueError(
+                        f"tower table {t.name} planned "
+                        f"{ps.sharding_type}; tower tables must be "
+                        f"TABLE_WISE (co-located with their interaction "
+                        f"module on one device)"
+                    )
                 ranks.add(ps.ranks[0] if ps.ranks else 0)
             if len(ranks) != 1:
                 raise ValueError(

@@ -477,7 +477,10 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             for ti in tids:
                 t = self.meta.tables[ti]
                 off = self.table_local_off[ti]
-                v = np.asarray(per_table[t.name], np.float32)  # [Lc, R]
+                # [Lc, R]; 1-D input = the Lc == 1 plain-row case
+                v = np.atleast_2d(
+                    np.asarray(per_table[t.name], np.float32)
+                )
                 for l in range(self.Lc):
                     arr[h * self.Lc + l, off : off + t.rows] = v[l]
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))

@@ -236,8 +236,11 @@ class BaseEmbeddingShardingStrategy:
         target is plain ([S,R] -> [R] sums the per-shard sum-of-squares,
         recovering the full-row accumulator); [R] -> [S,R] splits the
         total evenly (documented approximation — per-column history is
-        not recoverable)."""
-        if arr.ndim == 2 and arr.shape[0] == s_target:
+        not recoverable). Output rank always matches the target: 1-D for
+        plain row space, 2-D [s_target, R] otherwise (a one-column-shard
+        plan saves [1, R], which must flatten for row-space targets)."""
+        arr = np.asarray(arr)
+        if arr.ndim == 2 and arr.shape[0] == s_target and s_target > 1:
             return arr
         if arr.ndim == 2:
             arr = arr.sum(axis=0)
@@ -904,10 +907,10 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
 
     def shard_rowwise(self, per_table):
         arr = np.concatenate(
-            [np.asarray(per_table[t.name], np.float32)
+            [np.atleast_2d(np.asarray(per_table[t.name], np.float32))
              for t in self.meta.tables],
             axis=1,
-        )  # [n, total_rows]
+        )  # [n, total_rows]  (1-D input = the n == 1 plain-row case)
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def forward(self, state, sb):

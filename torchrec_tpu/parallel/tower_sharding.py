@@ -104,6 +104,9 @@ class ShardedEmbeddingTowerCollection:
         self.towers = list(towers)
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
+        # device-strategy-only knob plumbed through fused_params; not an
+        # apply_fused_update argument
+        self.optim_kwargs.pop("input_routing", None)
         self.interaction_lr = interaction_lr
         n = env.world_size
         dims = {t.embedding_dim for tw in towers for t in tw.tables}

@@ -25,28 +25,18 @@ DDR_MEM_BW = 51.0  # GB/s
 FUSED_KERNEL_BW_FRACTION = 0.5
 
 # Measured v5e random-row (512B) fused-kernel cost model (r2,
-# NOTES_r2.md "Scatter is stream-bound at scale"):
-#   gather:  ~8.6 ns/row, INDEPENDENT of table size;
-#   scatter: max(per-row dispatch ~26 ns/row,
-#                full-operand stream 2 x shard_bytes / 630 GB/s)
-# — XLA's scatter rewrites the whole operand, so beyond ~2 GiB/shard the
-# update is stream-bound (the DLRM step at 8.7 GiB tables runs 3.2x
-# slower than at 1.3 GiB). Splitting huge tables across devices shrinks
-# each shard's stream term n-fold.
-GATHER_NS_PER_ROW = 8.6
-SCATTER_NS_PER_ROW = 26.0
-STREAM_BW_BYTES_S = 630.0e9
-
-
-def fused_lookup_s(rows_touched: float) -> float:
-    return rows_touched * GATHER_NS_PER_ROW * 1e-9
-
-
-def fused_update_s(rows_touched: float, shard_bytes: float) -> float:
-    return max(
-        rows_touched * SCATTER_NS_PER_ROW * 1e-9,
-        2.0 * shard_bytes / STREAM_BW_BYTES_S,
-    )
+# NOTES_r2.md "Scatter is stream-bound at scale"). The numbers live in
+# ops/cost_model.py — the SAME source the runtime kernel chooser uses,
+# so the planner and apply_fused_update's XLA/Pallas crossover never
+# disagree. Splitting huge tables across devices shrinks each shard's
+# stream term n-fold, which is why the planner prefers it.
+from torchrec_tpu.ops.cost_model import (  # noqa: F401
+    GATHER_NS_PER_ROW,
+    SCATTER_NS_PER_ROW,
+    STREAM_BW_BYTES_S,
+    fused_lookup_s,
+    fused_update_s,
+)
 DENSE_KERNEL_BW_FRACTION = 0.35
 QUANT_KERNEL_BW_FRACTION = 0.6
 
