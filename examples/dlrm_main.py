@@ -73,6 +73,15 @@ def parse_args(argv) -> argparse.Namespace:
     p.add_argument("--package_dir", type=str, default=None,
                    help="export a quantized int8 serving package "
                         "(ref: examples/dlrm/dlrm_packager.py)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host launch: jax.distributed.initialize() "
+                        "in every per-host process, host-contiguous mesh "
+                        "over all hosts' chips, local_size = "
+                        "jax.local_device_count() (ref: the torchrun "
+                        "env-driven launch, comm.py:31-99)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for --multihost (TPU "
+                        "pods auto-discover when omitted)")
     return p.parse_args(argv)
 
 
@@ -98,7 +107,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
     from torchrec_tpu.planner import EmbeddingShardingPlanner, Topology
     from torchrec_tpu.utils.metrics import accuracy, auroc
 
-    env = ShardingEnv.from_devices()
+    if args.multihost:
+        env = ShardingEnv.from_distributed(
+            coordinator_address=args.coordinator_address
+        )
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}"
+            f" up, {env.num_hosts} hosts x {env.local_size} chips"
+        )
+    else:
+        env = ShardingEnv.from_devices()
     world = env.world_size
 
     if args.num_embeddings_per_feature:

@@ -312,9 +312,16 @@ def test_single_column_shard_momentum_reshards():
         BaseEmbeddingShardingStrategy,
     )
 
+    import pytest
+
     arr = np.arange(10, dtype=np.float32)[None]  # [1, R]
     out = BaseEmbeddingShardingStrategy._convert_rowspace(arr, 1)
     assert out.ndim == 1 and np.array_equal(out, np.arange(10))
-    out4 = BaseEmbeddingShardingStrategy._convert_rowspace(arr, 4)
+    # r3 corrected semantics (ADVICE r2): the accumulator is mean(g²)
+    # over local columns, so expansion REPLICATES the full-row value
+    # into each shard (and warns about the approximation)
+    with pytest.warns(UserWarning, match="not recoverable"):
+        out4 = BaseEmbeddingShardingStrategy._convert_rowspace(arr, 4)
     assert out4.shape == (4, 10)
-    np.testing.assert_allclose(out4.sum(axis=0), np.arange(10))
+    for s in range(4):
+        np.testing.assert_allclose(out4[s], np.arange(10))

@@ -5,7 +5,11 @@ plan, batched_embedding_kernel.py:71-118,204-246).
 The canonical forms (strategies.py unshard_opt_to_tables):
   full momenta  [R, D] -> exact under ANY plan/world-size change
   rowwise       [R]    -> exact across row-space plans (DP/RW/TW/TWRW)
-  CW rowwise    [S, R] -> exact same-S; summed (exact total) to row space
+  CW rowwise    [S, R] -> exact same-S; shard MEAN (exact full-row
+                          accumulator: each shard holds mean(g²) over
+                          its equal-width local columns) to row space;
+                          replicated (approximation, warns) to column
+                          space
 """
 
 import jax
@@ -142,17 +146,34 @@ def test_adam_rw2_to_cw4_step_parity(tmp_path):
     )
 
 
-def test_cw_rowwise_momentum_sums_to_row_space(tmp_path):
-    """CW keeps one rowwise accumulator per column shard (virtual tables);
-    moving to row space sums them — exactly the full-row sum-of-squares a
-    non-CW plan would hold."""
+def test_cw_rowwise_momentum_mean_is_row_space_accumulator(tmp_path):
+    """CW keeps one rowwise accumulator per (equal-width) column shard;
+    each is mean(g²) over its LOCAL columns, so the full-row accumulator
+    a row-space plan would hold is the shard MEAN. Validated against
+    actual row-space training (one identical step on an RW plan — both
+    plans share init weights and batches, so step-1 gradients match),
+    not just against the converter's own arithmetic (ADVICE r2)."""
     dmp = _dmp(ShardingType.COLUMN_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
-    state = _train(dmp, steps=2)
-    ebc = dmp.sharded_ebcs[EBC_PATH]
-    (strat,) = ebc.strategies
+    state = _train(dmp, steps=1)
+    (strat,) = dmp.sharded_ebcs[EBC_PATH].strategies
     per = strat.unshard_opt_to_tables(state.emb_states[EBC_PATH][0].opt)
     assert per["t0"]["m1__cwrow"].shape == (4, 64)
 
+    # ground truth: the same single step on a row-space plan
+    dmp_rw = _dmp(ShardingType.ROW_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
+    state_rw = _train(dmp_rw, steps=1)
+    (strat_rw,) = dmp_rw.sharded_ebcs[EBC_PATH].strategies
+    per_rw = strat_rw.unshard_opt_to_tables(
+        state_rw.emb_states[EBC_PATH][0].opt
+    )
+    for t in ("t0", "t1"):
+        np.testing.assert_allclose(
+            per_rw[t]["m1__row"], per[t]["m1__cwrow"].mean(axis=0),
+            rtol=1e-5, atol=1e-8,
+            err_msg="shard-mean of CW accumulators != row-space training",
+        )
+
+    # converter path: CW checkpoint loaded into a row-space plan
     path = str(tmp_path / "ck.npz")
     save_reshardable(path, dmp, state)
     dmp2 = _dmp(ShardingType.ROW_WISE, 8, EmbOptimType.ROWWISE_ADAGRAD)
@@ -162,9 +183,34 @@ def test_cw_rowwise_momentum_sums_to_row_space(tmp_path):
     per2 = strat2.unshard_opt_to_tables(s2.emb_states[EBC_PATH][0].opt)
     for t in ("t0", "t1"):
         np.testing.assert_allclose(
-            per2[t]["m1__row"], per[t]["m1__cwrow"].sum(axis=0), rtol=1e-6
+            per2[t]["m1__row"], per[t]["m1__cwrow"].mean(axis=0), rtol=1e-6
         )
-    assert int(per2["t0"]["step"]) == 2
+    assert int(per2["t0"]["step"]) == 1
+
+
+def test_row_to_cw_rowwise_replicates_and_warns(tmp_path):
+    """[R] -> [S, R] expansion replicates the full-row accumulator into
+    every column shard (unbiased; NOT divided by S) and emits the
+    documented approximation warning."""
+    dmp = _dmp(ShardingType.ROW_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
+    state = _train(dmp, steps=2)
+    (strat,) = dmp.sharded_ebcs[EBC_PATH].strategies
+    per = strat.unshard_opt_to_tables(state.emb_states[EBC_PATH][0].opt)
+    path = str(tmp_path / "ck.npz")
+    save_reshardable(path, dmp, state)
+
+    dmp2 = _dmp(ShardingType.COLUMN_WISE, 4, EmbOptimType.ROWWISE_ADAGRAD)
+    s2 = dmp2.init(jax.random.PRNGKey(7), *_batch(0))
+    with pytest.warns(UserWarning, match="not recoverable"):
+        s2 = load_reshardable(path, dmp2, s2)
+    (strat2,) = dmp2.sharded_ebcs[EBC_PATH].strategies
+    per2 = strat2.unshard_opt_to_tables(s2.emb_states[EBC_PATH][0].opt)
+    for t in ("t0", "t1"):
+        for s in range(4):
+            np.testing.assert_allclose(
+                per2[t]["m1__cwrow"][s], per[t]["m1__row"], rtol=1e-6,
+                err_msg="each column shard must hold the full-row mean",
+            )
 
 
 def test_twcw_rowwise_momentum_same_shardcount_exact(tmp_path):

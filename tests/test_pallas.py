@@ -179,3 +179,67 @@ def test_fused_update_with_dedup_slack(weights, rng):
     )
     np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(new_m, ref_opt.momentum1, rtol=1e-6)
+
+
+def test_rowwise_momentum_stream_kernel(rng):
+    """Streaming [R/128,128]-tile momentum accumulate + per-id inverse
+    scale (r3): exact vs a NumPy reference, including block-boundary
+    ids, a fully-dense block, and sentinel tails."""
+    Rb = 2500
+    real = np.sort(rng.choice(Rb, size=400, replace=False)).astype(np.int32)
+    uids = np.concatenate([real, Rb + np.arange(400, 512, dtype=np.int32)])
+    gsq = np.where(
+        np.arange(512) < 400, rng.rand(512).astype(np.float32), 0.0
+    ).astype(np.float32)
+    m0 = rng.rand(Rb).astype(np.float32)
+    new_m, inv = pe.rowwise_momentum_stream(
+        jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
+        eps=1e-8, interpret=True,
+    )
+    ref_m = m0.copy()
+    ref_m[real] += gsq[:400]
+    np.testing.assert_allclose(np.asarray(new_m), ref_m, rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(inv)[:400], -1.0 / (np.sqrt(ref_m[real]) + 1e-8),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_fused_rowwise_adagrad_momentum_stream(weights, rng):
+    """momentum_stream=True matches the XLA-momentum pallas path."""
+    uids = _unique_ids(rng, 100)
+    g = jnp.asarray(rng.randn(100, D).astype(np.float32))
+    m = jnp.asarray(rng.rand(R).astype(np.float32))
+    new_w, new_m = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, g, 0.05, momentum_stream=True, interpret=True
+    )
+    ref_w, ref_m = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, g, 0.05, momentum_stream=False, interpret=True
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(new_m, ref_m, rtol=1e-6)
+
+
+def test_apply_fused_update_mom_stream_env(weights, rng, monkeypatch):
+    """TORCHREC_TPU_MOM_IMPL=stream routes the XLA rowwise path's
+    momentum through the streaming kernel: same result on duplicate-rich
+    batches with invalid tokens."""
+    n = 300
+    flat_ids = jnp.asarray(rng.randint(0, R, size=(n,)), jnp.int32)
+    grads = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    opt = init_fused_optimizer_state(R, D, EmbOptimType.ROWWISE_ADAGRAD)
+
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "xla")
+    ref_w, ref_opt = apply_fused_update(
+        weights, opt, flat_ids, grads, valid, 0.1
+    )
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "stream")
+    new_w, new_opt = apply_fused_update(
+        weights, opt, flat_ids, grads, valid, 0.1
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
+    )

@@ -44,11 +44,19 @@ def run(mesh: str, batch_per_device: int, steps: int,
     )
     from torchrec_tpu.sparse import KeyedJaggedTensor
 
-    H, Lc = (int(x) for x in mesh.split("x"))
-    n = H * Lc
-    devices = jax.devices()[:n]
-    assert len(devices) == n, f"need {n} devices, have {len(devices)}"
-    env = ShardingEnv.from_devices(devices, local_size=Lc)
+    if mesh == "distributed":
+        # real multi-host launch: one process per host, env-driven
+        # discovery (ref comm.py:31-99); host-contiguous mesh asserted
+        # inside from_distributed
+        env = ShardingEnv.from_distributed()
+        H, Lc = env.num_hosts, env.local_size
+        n = env.world_size
+    else:
+        H, Lc = (int(x) for x in mesh.split("x"))
+        n = H * Lc
+        devices = jax.devices()[:n]
+        assert len(devices) == n, f"need {n} devices, have {len(devices)}"
+        env = ShardingEnv.from_devices(devices, local_size=Lc)
     B = batch_per_device * n
     rows = 4096
     tables = tuple(
@@ -130,7 +138,10 @@ def run(mesh: str, batch_per_device: int, steps: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mesh", default="2x4", help="HxLc (hosts x locals)")
+    p.add_argument("--mesh", default="2x4",
+                   help="HxLc (hosts x locals), or 'distributed' for a "
+                        "real multi-host launch via "
+                        "jax.distributed.initialize()")
     p.add_argument("--batch_per_device", type=int, default=64)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--input_routing", default="allgather",

@@ -46,11 +46,16 @@ CRITEO_KAGGLE_CTR = 0.2562  # published DAC positive rate
 INT_FEATURE_COUNT = 13
 CAT_FEATURE_COUNT = 26
 
+_SQRT3 = np.float32(np.sqrt(3.0))
+
+
 def latent_score(feature: np.ndarray, ids: np.ndarray) -> np.ndarray:
     """Deterministic per-(feature, id) latent in [-sqrt(3), sqrt(3)]
     (unit variance uniform): the ground truth an embedding model can
-    learn. 32-bit murmur-style finalizer — bit-identical to the on-device
-    twin so host- and device-generated streams share one ground truth."""
+    learn. 32-bit murmur-style finalizer, bit-identical to the on-device
+    twin: both sides build u from the hash's exact 16-bit halves (each
+    exact in float32) and apply the same sequence of IEEE f32 ops, so
+    host-eval and device-train streams share ONE ground truth."""
     key = (
         ids.astype(np.uint32)
         + np.uint32(1_000_003) * (feature.astype(np.uint32) + np.uint32(1))
@@ -59,8 +64,31 @@ def latent_score(feature: np.ndarray, ids: np.ndarray) -> np.ndarray:
     z = (z ^ (z >> np.uint32(16))) * np.uint32(0x85EBCA6B)
     z = (z ^ (z >> np.uint32(13))) * np.uint32(0xC2B2AE35)
     z = z ^ (z >> np.uint32(16))
-    u = z.astype(np.float64) / float(2**32)
-    return ((2.0 * u - 1.0) * np.sqrt(3.0)).astype(np.float32)
+    hi = (z >> np.uint32(16)).astype(np.float32)
+    lo = (z & np.uint32(0xFFFF)).astype(np.float32)
+    u = hi * np.float32(2.0**-16) + lo * np.float32(2.0**-32)
+    return (np.float32(2.0) * u - np.float32(1.0)) * _SQRT3
+
+
+def device_latent_score(feats, ids):
+    """On-device twin of latent_score: identical IEEE f32 op sequence
+    (u built from the hash's exact 16-bit halves), so host-eval and
+    device-train streams share ONE bit-identical ground truth."""
+    import jax.numpy as jnp
+
+    key = (
+        ids.astype(jnp.uint32)
+        + jnp.uint32(1_000_003) * (feats.astype(jnp.uint32) + 1)
+    )
+    # 32-bit splitmix-style finalizer (device ints are 32-bit)
+    z = key * jnp.uint32(0x9E3779B9)
+    z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
+    z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    hi = (z >> 16).astype(jnp.float32)
+    lo = (z & 0xFFFF).astype(jnp.float32)
+    u = hi * jnp.float32(2.0**-16) + lo * jnp.float32(2.0**-32)
+    return (jnp.float32(2.0) * u - jnp.float32(1.0)) * jnp.float32(_SQRT3)
 
 
 def zipf_ids(
@@ -217,18 +245,7 @@ class SyntheticCriteoDataset:
         sigma, bias = self.sigma, self.bias
         z_mu, z_sd = self._z_mu, self._z_sd
 
-        def dev_latent(feats, ids):
-            key = (
-                ids.astype(jnp.uint32)
-                + jnp.uint32(1_000_003) * (feats.astype(jnp.uint32) + 1)
-            )
-            # 32-bit splitmix-style finalizer (device ints are 32-bit)
-            z = key * jnp.uint32(0x9E3779B9)
-            z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
-            z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
-            z = z ^ (z >> 16)
-            u = z.astype(jnp.float32) / jnp.float32(2**32)
-            return (2.0 * u - 1.0) * jnp.sqrt(3.0)
+        dev_latent = device_latent_score
 
         def gen(key):
             k1, k2, k3 = jax.random.split(key, 3)

@@ -45,3 +45,31 @@ def fused_update_s(rows_touched: float, operand_bytes: float) -> float:
         xla_update_s(rows_touched, operand_bytes),
         pallas_update_s(rows_touched),
     )
+
+
+# --- rowwise momentum side (r3) -------------------------------------------
+# XLA path = scalar scatter (~9.5 ns/elem) + 128-wide-row gather + one-hot
+# lane select (~0.8 ms at N=213k => ~3.8 ns/elem) + run-total overheads.
+# Streaming Pallas kernel = whole [R] momentum through VMEM tiles (in+out)
+# + sorted contribution windows (~9/8 coverage) + one-hot MXU accumulate
+# (~2.4 kFLOP per table row, R-bound). PROVISIONAL until the r3 chip
+# campaign lands (tools/bench_mom_stream_r3.py); re-measure HERE only.
+MOM_XLA_NS_PER_ELEM = 13.5  # scatter 9.5 + wide-gather lane select ~4
+MOM_STREAM_BYTES_PER_ROW = 25.0  # m in+out (8) + id/gsq/scale windows
+MOM_STREAM_FLOP_PER_ROW = 2400.0
+MXU_F32_FLOPS_S = 45.0e12
+MOM_STREAM_FIXED_S = 30.0e-6
+
+
+def mom_xla_s(n_elems: float) -> float:
+    """XLA rowwise-momentum path: scalar scatter + wide gather."""
+    return n_elems * MOM_XLA_NS_PER_ELEM * 1e-9
+
+
+def mom_stream_s(table_rows: float) -> float:
+    """Streaming Pallas rowwise-momentum kernel (R-bound, N-free)."""
+    return (
+        table_rows * MOM_STREAM_BYTES_PER_ROW / STREAM_BW_BYTES_S
+        + table_rows * MOM_STREAM_FLOP_PER_ROW / MXU_F32_FLOPS_S
+        + MOM_STREAM_FIXED_S
+    )

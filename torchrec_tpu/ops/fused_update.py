@@ -412,15 +412,32 @@ def apply_fused_update(
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         m = opt_state.momentum1
         g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
-        new_m = m.at[uids].add(g_sq, mode="drop", **hints)
-        m_rows = _gather_rowwise_state(new_m, 1.0)
-        if sr_active:
-            total_all = g.at[run_start].get(**hints)
-            new_w = _sr_set(
-                -lr * total_all / (jnp.sqrt(m_rows)[:, None] + eps)
+        if _use_mom_stream(R, N):
+            # streaming Pallas momentum (r3): the whole [R] accumulator
+            # rides VMEM tiles and the per-position scale comes back
+            # sorted-position-aligned — no scalar scatter, no gather.
+            # Works on sorted-WITH-duplicate ids: dup slots carry
+            # g_sq = 0 so they accumulate nothing, and their returned
+            # scale multiplies g = 0.
+            from torchrec_tpu.ops.pallas_embedding import (
+                rowwise_momentum_stream,
             )
+
+            new_m, inv = rowwise_momentum_stream(
+                m, uids, g_sq.astype(jnp.float32), eps=eps
+            )
+            inv_sqrt = -inv.astype(cdt)  # 1/(sqrt(m_new) + eps), 0 OOB
         else:
-            upd = -lr * g / (jnp.sqrt(m_rows)[:, None] + eps)
+            new_m = m.at[uids].add(g_sq, mode="drop", **hints)
+            m_rows = _gather_rowwise_state(new_m, 1.0)
+            inv_sqrt = 1.0 / (jnp.sqrt(m_rows) + eps)
+        if sr_active:
+            # inv_sqrt is per-position and constant across a duplicate
+            # run (same id), so no run_start re-gather is needed
+            total_all = g.at[run_start].get(**hints)
+            new_w = _sr_set(-lr * total_all * inv_sqrt[:, None])
+        else:
+            upd = -lr * g * inv_sqrt[:, None]
             new_w = weights.at[uids].add(
                 upd.astype(weights.dtype), mode="drop", **hints
             )
@@ -581,6 +598,26 @@ def apply_fused_update(
     raise ValueError(f"unsupported fused optimizer: {optim}")
 
 
+def _use_mom_stream(R: int, N: int) -> bool:
+    """Pick the rowwise-momentum implementation: the streaming Pallas
+    kernel (R-bound: whole [R] accumulator through VMEM tiles) vs the
+    XLA scalar-scatter + wide-gather path (N-bound dispatch). Constants
+    in ops/cost_model.py; TORCHREC_TPU_MOM_IMPL=stream|xla overrides."""
+    import os
+
+    impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", "auto")
+    if impl == "stream":
+        return True
+    if impl == "xla":
+        return False
+    from torchrec_tpu.ops.cost_model import mom_stream_s, mom_xla_s
+
+    return (
+        jax.default_backend() == "tpu"
+        and mom_stream_s(R) < mom_xla_s(N)
+    )
+
+
 def optim_supports_pallas(optim: EmbOptimType) -> bool:
     return optim in (
         EmbOptimType.SGD,
@@ -622,6 +659,9 @@ def _apply_fused_update_pallas(
         new_w, new_m = pe.fused_update_rowwise_adagrad(
             weights, opt_state.momentum1, uids, g, lr,
             eps=eps, weight_decay=weight_decay, T=128,
+            momentum_stream=_use_mom_stream(
+                weights.shape[0], uids.shape[0]
+            ),
         )
         return new_w, opt_state.replace(momentum1=new_m, step=step)
 

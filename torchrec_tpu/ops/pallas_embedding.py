@@ -484,13 +484,18 @@ def fused_update_rowwise_adagrad(
     eps: float = 1.0e-8,
     weight_decay: float = 0.0,
     T: int = 128,
+    momentum_stream: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """In-place rowwise-Adagrad: momentum [R] holds mean(g^2) per row.
 
-    Momentum is updated on the XLA side (wide-row gather + scalar
-    scatter); the Pallas kernel streams only the touched w rows through a
-    scaled RMW. uids must be UNIQUE (pre-deduped); >= R skipped."""
+    The Pallas wave kernel streams only the touched w rows through a
+    scaled RMW. Momentum runs either on the XLA side (wide-row gather +
+    scalar scatter; a scalar-per-row DMA violates Mosaic's (8,128) HBM
+    tiling, so it can't ride the w wave) or — `momentum_stream=True`,
+    chosen by the ops/cost_model crossover — through the streaming
+    [R/128, 128]-tile kernel that also returns the per-id scales.
+    uids must be UNIQUE sorted (pre-deduped); >= R skipped."""
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
@@ -498,7 +503,6 @@ def fused_update_rowwise_adagrad(
     ids = jnp.minimum(uids, R - 1)  # XLA-side momentum math only
     hints = dict(indices_are_sorted=True)
 
-    # momentum math (XLA): unique ids -> m_new = m_old + mean(g^2).
     # L2 weight decay folds into g BEFORE the accumulator (FBGEMM
     # semantics, matching the XLA path in ops/fused_update.py)
     if weight_decay:
@@ -510,15 +514,21 @@ def fused_update_rowwise_adagrad(
     g_sq = jnp.mean(
         (g * g).astype(jnp.float32), axis=1
     ) * valid.astype(jnp.float32)
-    new_m = momentum.at[uids].add(
-        g_sq.astype(momentum.dtype), mode="drop", **hints
-    )
-    m_rows = momentum.at[ids].get(
-        mode="fill", fill_value=0.0, **hints
-    ).astype(jnp.float32) + g_sq
-    scale = jnp.where(
-        valid > 0, -lr / (jnp.sqrt(m_rows) + eps), 0.0
-    ).astype(weights.dtype)[:, None]
+    if momentum_stream:
+        new_m, inv = rowwise_momentum_stream(
+            momentum, uids, g_sq, eps=eps, interpret=interpret
+        )
+        scale = (lr * inv).astype(weights.dtype)[:, None]
+    else:
+        new_m = momentum.at[uids].add(
+            g_sq.astype(momentum.dtype), mode="drop", **hints
+        )
+        m_rows = momentum.at[ids].get(
+            mode="fill", fill_value=0.0, **hints
+        ).astype(jnp.float32) + g_sq
+        scale = jnp.where(
+            valid > 0, -lr / (jnp.sqrt(m_rows) + eps), 0.0
+        ).astype(weights.dtype)[:, None]
 
     new_w = pl.pallas_call(
         functools.partial(
@@ -549,6 +559,182 @@ def fused_update_rowwise_adagrad(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(uids, weights, g, scale)
     return new_w, new_m
+
+
+def _rowwise_mom_stream_kernel(
+    wrow_ref, m_ref, ids_hbm, gsq_hbm, sc_in, out_m, out_sc,
+    ids_s, g_s, sc_s, sems,
+    *, TB, KR, R, eps,
+):
+    """One momentum block of TB x 128 table rows: accumulate this
+    block's (sorted, unique) contributions into the momentum tile via
+    one-hot MXU matmuls, and emit the per-contribution inverse scale
+    -1/(sqrt(m_new)+eps) back into the sorted-position-aligned scale
+    array (RMW merge, so overlapping boundary sublane rows of adjacent
+    windows survive — the TPU grid is sequential, so the previous
+    block's write has completed before this block's read)."""
+    b = pl.program_id(0)
+    row0 = wrow_ref[b]
+
+    # window DMAs: ids / g_sq / current scale rows [row0, row0+KR)
+    pltpu.make_async_copy(
+        ids_hbm.at[pl.ds(row0, KR)], ids_s, sems.at[0]
+    ).start()
+    pltpu.make_async_copy(
+        gsq_hbm.at[pl.ds(row0, KR)], g_s, sems.at[1]
+    ).start()
+    # RMW the scale window through the OUTPUT ref: the aliased input ref
+    # can serve stale bytes for rows the previous block just wrote (its
+    # boundary sublane row overlaps this window), and interpret-mode
+    # aliasing is copy-based — the output ref is the live buffer
+    pltpu.make_async_copy(
+        out_sc.at[pl.ds(row0, KR)], sc_s, sems.at[2]
+    ).start()
+    pltpu.make_async_copy(
+        ids_hbm.at[pl.ds(row0, KR)], ids_s, sems.at[0]
+    ).wait()
+    pltpu.make_async_copy(
+        gsq_hbm.at[pl.ds(row0, KR)], g_s, sems.at[1]
+    ).wait()
+    pltpu.make_async_copy(
+        out_sc.at[pl.ds(row0, KR)], sc_s, sems.at[2]
+    ).wait()
+
+    E = KR * 128
+    ids = ids_s[:].reshape(1, E)
+    gsq = g_s[:].reshape(1, E)
+    block_lo = b * TB * 128
+    rel = ids - block_lo
+    valid = (rel >= 0) & (rel < TB * 128) & (ids < R)
+    rel = jnp.where(valid, rel, 0)
+    row = jax.lax.div(rel, 128)
+    lane = jax.lax.rem(rel, 128)
+
+    # one-hot selectors ([TB, E] row select, [E, 128] lane select)
+    rsel_f = (
+        (jax.lax.broadcasted_iota(jnp.int32, (TB, E), 0) == row) & valid
+    ).astype(jnp.float32)
+    lsel_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (E, 128), 1)
+        == lane.reshape(E, 1)
+    ).astype(jnp.float32)
+
+    # accumulate: m_delta[r, c] = sum_e rsel[r,e] * lsel[e,c] * gsq[e]
+    m_new = m_ref[:] + jax.lax.dot(
+        rsel_f, lsel_f * gsq.reshape(E, 1),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_m[:] = m_new
+
+    # per-contribution m_new (unique ids: m_new[id] = m_old + gsq):
+    # tmp[e, c] = sum_r rsel[r, e] * m_new[r, c]; reduce lanes by lsel
+    tmp = jax.lax.dot(
+        rsel_f.T, m_new, precision=jax.lax.Precision.HIGHEST
+    )  # [E, 128]
+    m_e = jnp.sum(tmp * lsel_f, axis=1)  # [E]
+    inv = -1.0 / (jnp.sqrt(m_e) + eps)
+    sc_s[:] = jnp.where(
+        valid.reshape(KR, 128), inv.reshape(KR, 128), sc_s[:]
+    )
+    pltpu.make_async_copy(
+        sc_s, out_sc.at[pl.ds(row0, KR)], sems.at[3]
+    ).start()
+    pltpu.make_async_copy(
+        sc_s, out_sc.at[pl.ds(row0, KR)], sems.at[3]
+    ).wait()
+
+
+def rowwise_momentum_stream(
+    momentum: Array,
+    uids: Array,
+    g_sq: Array,
+    eps: float = 1.0e-8,
+    TB: int = 8,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """Streaming rowwise-momentum accumulate + per-id inverse scale.
+
+    momentum [R] f32; uids [N] SORTED UNIQUE ascending (dedup_row_grads
+    output: real ids first, then distinct sentinels >= R); g_sq [N] f32
+    combined mean(g²) per unique id (0 at sentinel slots).
+
+    Returns (new_momentum [R], inv_scale [N]) where inv_scale[p] =
+    -1/(sqrt(new_m[uids[p]]) + eps) for valid p (0/garbage at sentinel
+    slots — callers mask). The whole momentum array streams through
+    VMEM in [TB, 128] tiles (tiny: 4 B/row vs 512 B/row for weights),
+    killing both the XLA scalar-scatter dispatch floor (~9.5 ns/elem,
+    2.0 ms at bench shapes) and the separate scale gather (~0.8 ms) —
+    contributions arrive sorted, so each tile's inputs are one
+    contiguous window located by a searchsorted prepass.
+    """
+    interpret = _auto_interpret(interpret)
+    R = momentum.shape[0]
+    N = uids.shape[0]
+    block_rows = TB * 128
+    nblocks = max(1, -(-R // block_rows))
+    Rp = nblocks * block_rows
+    KR = TB + 1  # window sublane rows: <= TB*128 contribs + alignment
+
+    m2d = jnp.pad(momentum, (0, Rp - R)).reshape(Rp // 128, 128)
+    # pad ids to a lane multiple plus KR slack rows of sentinels
+    Np = -(-max(N, 1) // 128) * 128 + KR * 128
+    SENT = jnp.int32(2**31 - 1)
+    ids_p = jnp.full((Np,), SENT, jnp.int32).at[:N].set(
+        uids.astype(jnp.int32)
+    )
+    gsq_p = jnp.zeros((Np,), jnp.float32).at[:N].set(
+        g_sq.astype(jnp.float32)
+    )
+    ids2d = ids_p.reshape(Np // 128, 128)
+    gsq2d = gsq_p.reshape(Np // 128, 128)
+    sc0 = jnp.zeros((Np // 128, 128), jnp.float32)
+
+    starts = jnp.searchsorted(
+        ids_p, jnp.arange(nblocks, dtype=jnp.int32) * block_rows
+    ).astype(jnp.int32)
+    wrows = starts // 128
+
+    new_m2d, sc2d = pl.pallas_call(
+        functools.partial(
+            _rowwise_mom_stream_kernel, TB=TB, KR=KR, R=R, eps=float(eps)
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TB, 128), lambda i, *p: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # momentum tile (pipelined)
+                pl.BlockSpec(memory_space=pl.ANY),  # ids2d
+                pl.BlockSpec(memory_space=pl.ANY),  # gsq2d
+                pl.BlockSpec(memory_space=pl.ANY),  # scale in (aliased)
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (TB, 128), lambda i, *p: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # new momentum tile
+                pl.BlockSpec(memory_space=pl.ANY),  # scale (manual RMW)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((KR, 128), jnp.int32),
+                pltpu.VMEM((KR, 128), jnp.float32),
+                pltpu.VMEM((KR, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Np // 128, 128), jnp.float32),
+        ),
+        input_output_aliases={1: 0, 4: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(wrows, m2d, ids2d, gsq2d, sc0)
+    new_m = new_m2d.reshape(-1)[:R]
+    inv_scale = sc2d.reshape(-1)[:N]
+    return new_m, inv_scale
 
 
 def fused_update_adagrad(

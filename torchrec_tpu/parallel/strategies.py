@@ -35,6 +35,8 @@ TPU-first re-design, NOT a port of the bucketize+all_to_all machinery:
 from __future__ import annotations
 
 import dataclasses
+import logging
+import warnings
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -60,6 +62,7 @@ from torchrec_tpu.sparse import PaddedSparseBatch
 
 Array = jax.Array
 AXIS = ShardingEnv.AXIS
+logger = logging.getLogger(__name__)
 
 
 @struct.dataclass
@@ -101,6 +104,18 @@ class BaseEmbeddingShardingStrategy:
         self.input_routing = self.optim_kwargs.pop(
             "input_routing", "allgather"
         )
+        if self.input_routing != "allgather" and not hasattr(
+            self, "_route_inputs"
+        ):
+            warnings.warn(
+                f"input_routing={self.input_routing!r} requested but "
+                f"{type(self).__name__} has no routed input dist — flat "
+                "strategies always all_gather ids; only hierarchical "
+                "strategies (TWRW/TWCW and their sequence variants) "
+                "implement a2a routing. Falling back to allgather.",
+                stacklevel=2,
+            )
+            self.input_routing = "allgather"
         self.n = env.world_size
         self.dim = meta.dim
         # table storage dtype (fp32/fp16/bf16); optimizer state and pooled
@@ -232,21 +247,35 @@ class BaseEmbeddingShardingStrategy:
     @staticmethod
     def _convert_rowspace(arr: np.ndarray, s_target: int) -> np.ndarray:
         """Remap canonical rowwise momentum between plain row space and
-        column-shard row space. Exact when shard counts match or the
-        target is plain ([S,R] -> [R] sums the per-shard sum-of-squares,
-        recovering the full-row accumulator); [R] -> [S,R] splits the
-        total evenly (documented approximation — per-column history is
-        not recoverable). Output rank always matches the target: 1-D for
-        plain row space, 2-D [s_target, R] otherwise (a one-column-shard
-        plan saves [1, R], which must flatten for row-space targets)."""
+        column-shard row space. The rowwise accumulator is mean(g²) over
+        the shard's LOCAL columns (fused_update.py g_sq), and column
+        shards are always equal-width (CW/TWCW enforce divisibility), so:
+        exact when shard counts match; exact collapsing [S,R] -> [R] via
+        the shard MEAN (the average of per-shard local-column means IS
+        the full-row mean accumulator); approximate expanding
+        [R] -> [S,R] by replication (per-column-shard history is not
+        recoverable — each shard starts from the unbiased full-row mean;
+        a logged warning fires). Output rank always matches the target:
+        1-D for plain row space, 2-D [s_target, R] otherwise (a
+        one-column-shard plan saves [1, R], which must flatten for
+        row-space targets)."""
         arr = np.asarray(arr)
         if arr.ndim == 2 and arr.shape[0] == s_target and s_target > 1:
             return arr
+        src_s = arr.shape[0] if arr.ndim == 2 else 1
         if arr.ndim == 2:
-            arr = arr.sum(axis=0)
+            arr = arr.mean(axis=0)
         if s_target == 1:
             return arr
-        return np.tile(arr / s_target, (s_target, 1))
+        warnings.warn(
+            f"Restoring rowwise optimizer state into a plan with "
+            f"{s_target} column shards (checkpoint had {src_s}): "
+            "per-column-shard accumulator history is not recoverable — "
+            "each shard resumes from the full-row mean accumulator "
+            "(unbiased, but not bit-identical to uninterrupted training).",
+            stacklevel=2,
+        )
+        return np.tile(arr, (s_target, 1))
 
     def shard_opt_from_tables(
         self,
@@ -254,9 +283,18 @@ class BaseEmbeddingShardingStrategy:
         template_opt: "FusedOptimizerState",
     ) -> Optional["FusedOptimizerState"]:
         """Plan-shaped optimizer state from canonical per-table arrays.
-        Returns None (caller keeps fresh state) when the stored momentum
-        kinds don't match the current optimizer or any table is missing."""
+        Returns None (caller keeps fresh state, warning logged with the
+        offending table/tag) when the stored momentum kinds don't match
+        the current optimizer or any table is missing."""
         from torchrec_tpu.ops.fused_update import fused_state_shapes
+
+        def _restart(table, tag, why):
+            logger.warning(
+                "Fused momentum restart for group %s: table %r tag %r %s "
+                "— ALL momentum in this group resumes fresh.",
+                [t.name for t in self.meta.tables], table, tag, why,
+            )
+            return None
 
         kinds = fused_state_shapes(self.optim)
         new_m = []
@@ -269,14 +307,26 @@ class BaseEmbeddingShardingStrategy:
                 entry = per_table.get(t.name, {})
                 if kind == "full":
                     arr = entry.get(f"{tag}__full")
-                    if arr is None or arr.shape != (t.rows, t.dim):
-                        return None
+                    if arr is None:
+                        return _restart(t.name, f"{tag}__full", "missing")
+                    if arr.shape != (t.rows, t.dim):
+                        return _restart(
+                            t.name, f"{tag}__full",
+                            f"shape {arr.shape} != {(t.rows, t.dim)}",
+                        )
                 else:
                     arr = entry.get(f"{tag}__row")
                     if arr is None:
                         arr = entry.get(f"{tag}__cwrow")
-                    if arr is None or arr.shape[-1] != t.rows:
-                        return None
+                    if arr is None:
+                        return _restart(
+                            t.name, f"{tag}__row|__cwrow", "missing"
+                        )
+                    if arr.shape[-1] != t.rows:
+                        return _restart(
+                            t.name, tag,
+                            f"row count {arr.shape[-1]} != {t.rows}",
+                        )
                     arr = self._convert_rowspace(arr, self.rowwise_shards())
                 gathered[t.name] = np.asarray(arr, np.float32)
             if kind == "full":
@@ -289,7 +339,11 @@ class BaseEmbeddingShardingStrategy:
             if "step" in per_table.get(t.name, {})
         ]
         if len(steps) != len(self.meta.tables):
-            return None
+            return _restart(
+                [t.name for t in self.meta.tables
+                 if "step" not in per_table.get(t.name, {})],
+                "step", "missing",
+            )
         return FusedOptimizerState(
             momentum1=new_m[0],
             momentum2=new_m[1],

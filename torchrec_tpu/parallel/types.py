@@ -96,6 +96,48 @@ class ShardingEnv:
         self.mesh = mesh
         self.world_size = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self.local_size = local_size or self.world_size
+        if self.world_size % self.local_size:
+            raise ValueError(
+                f"world_size {self.world_size} not divisible by "
+                f"local_size {self.local_size}"
+            )
+        self._check_host_contiguous(list(mesh.devices.flat), self.local_size)
+
+    @staticmethod
+    def _check_host_contiguous(devices, local_size: int) -> None:
+        """Hierarchical strategies assume flat-mesh device i lives on
+        host i // local_size (axis_index_groups are built from that
+        layout, hierarchical_strategies.py:62-67). A mesh whose devices
+        interleave processes silently mis-routes the intra/cross-host
+        collectives — reject it here. (All-one-process meshes — CPU
+        test meshes, single-host TPU — pass trivially; the reference's
+        equivalent is the env-driven rank⇄host mapping contract of
+        comm.py:31-99.)"""
+        pidx = [getattr(d, "process_index", 0) for d in devices]
+        seen = set()
+        prev = None
+        for i, p in enumerate(pidx):
+            if p != prev:
+                if p in seen:
+                    raise ValueError(
+                        "mesh devices are not host-contiguous: process "
+                        f"{p} reappears at flat position {i} (order: "
+                        f"{pidx}). Sort devices by (process_index, id) — "
+                        "ShardingEnv.from_distributed() does this."
+                    )
+                seen.add(p)
+                prev = p
+        if len(seen) > 1:
+            # every logical host block must sit inside one process
+            for h in range(len(devices) // local_size):
+                block = set(pidx[h * local_size:(h + 1) * local_size])
+                if len(block) > 1:
+                    raise ValueError(
+                        f"logical host {h} (local_size={local_size}) "
+                        f"spans processes {sorted(block)}; hierarchical "
+                        "strategies would route DCN traffic as ICI. Use "
+                        "local_size=jax.local_device_count()."
+                    )
 
     @staticmethod
     def from_devices(
@@ -105,6 +147,36 @@ class ShardingEnv:
         devices = devices if devices is not None else jax.devices()
         mesh = Mesh(np.asarray(devices), (ShardingEnv.AXIS,))
         return ShardingEnv(mesh, local_size)
+
+    @staticmethod
+    def from_distributed(
+        coordinator_address: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None,
+    ) -> "ShardingEnv":
+        """Multi-host env: one controller process per host (ref: the
+        torchrun/env-driven process-group init, comm.py:31-99 +
+        examples/dlrm/README.MD:23-33). Calls
+        ``jax.distributed.initialize()`` — args default to env /
+        TPU-metadata discovery (JAX's analogue of RANK/WORLD_SIZE env
+        vars) — then builds a host-contiguous flat mesh over ALL
+        processes' devices with ``local_size = jax.local_device_count()``
+        so hierarchical strategies route intra-host traffic over ICI and
+        cross-host over DCN."""
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+        devices = sorted(
+            jax.devices(), key=lambda d: (d.process_index, d.id)
+        )
+        return ShardingEnv.from_devices(
+            devices, local_size=jax.local_device_count()
+        )
 
     @staticmethod
     def from_local(world_size: int) -> "ShardingEnv":

@@ -367,12 +367,24 @@ class KeyedJaggedTensor:
         col = jnp.arange(L)
         base = offsets[seg][:, None] + col[None, :]  # [F*B, L]
         src = jnp.clip(base, 0, max(self.values.shape[0] - 1, 0))
-        ids = self.values[src.reshape(-1)].reshape(F * B, L)
+        # an all-empty batch has values.shape == (0,); gather needs at
+        # least one source row (every slot is masked to pad_id below)
+        values = (
+            self.values
+            if self.values.shape[0]
+            else jnp.zeros((1,), self.values.dtype)
+        )
+        ids = values[src.reshape(-1)].reshape(F * B, L)
         valid = col[None, :] < jnp.minimum(self.lengths, L)[:, None]
         ids = jnp.where(valid, ids, pad_id)
         weights = None
         if self.weights is not None:
-            w = self.weights[src.reshape(-1)].reshape(F * B, L)
+            wsrc = (
+                self.weights
+                if self.weights.shape[0]
+                else jnp.zeros((1,), self.weights.dtype)
+            )
+            w = wsrc[src.reshape(-1)].reshape(F * B, L)
             weights = jnp.where(valid, w, 0.0).reshape(F, B, L)
         return PaddedSparseBatch(
             ids=ids.reshape(F, B, L).astype(jnp.int32),

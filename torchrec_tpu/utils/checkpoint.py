@@ -15,9 +15,12 @@ TPU design, two levels:
   full momenta ([R, D], Adam/LAMB/Adagrad) under ANY plan change; rowwise
   momenta ([R]) across any row-space plans (DP/RW/TW/TWRW, any world size);
   column-sharded rowwise momenta ([S, R] virtual tables) exactly when the
-  column-shard count matches, summed (exact total) when moving to row
-  space, and split evenly (approximation) when entering column space.
-  Kind mismatches (optimizer changed across the save) restart fresh.
+  column-shard count matches, averaged over shards (exact: the rowwise
+  accumulator is mean(g²) over local columns and shards are equal-width,
+  so the shard mean IS the full-row accumulator) when moving to row
+  space, and replicated (approximation, logged warning) when entering
+  column space. Kind mismatches (optimizer changed across the save)
+  restart fresh with a logged warning naming the table/tag.
 
 * `save_state` / `restore_state`: orbax checkpoint of the full DMPState
   pytree (sharded weights, momenta, dense optimizer, step) for exact
@@ -106,7 +109,13 @@ def load_reshardable(path: str, dmp, state):
         per_table: Dict[str, Dict[str, np.ndarray]] = {}
         for k in data.files:
             if k.startswith(prefix):
-                tname, tag = k[len(prefix):].rsplit("/", 1)
+                rest = k[len(prefix):]
+                # exactly "{table}/{tag}": a rest with extra slashes
+                # belongs to a DIFFERENT module whose key extends this
+                # one (e.g. "m" vs "m/sub") — don't sweep it in
+                if rest.count("/") != 1:
+                    continue
+                tname, tag = rest.rsplit("/", 1)
                 per_table.setdefault(tname, {})[tag] = data[k]
         if not per_table:
             continue
