@@ -50,6 +50,11 @@ def parse_args(argv):
     p.add_argument("--over_arch_layer_sizes", type=str,
                    default="512,512,256,1")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--serve_batching", action="store_true",
+                   help="serve ragged client requests through the "
+                        "micro-batching queue (BatchingPredictServer) "
+                        "instead of pre-batched calls — the reference's "
+                        "serving-tier batching analogue")
     return p.parse_args(argv)
 
 
@@ -190,6 +195,48 @@ def main(argv: Optional[List[str]] = None) -> dict:
         dense = jnp.asarray(rng.randn(B, INT_FEATURE_COUNT).astype(np.float32))
         labels = jnp.zeros((B,), jnp.float32)
         return dense, sb, labels
+
+    if args.serve_batching:
+        # ragged client requests -> static server batch via the
+        # micro-batching queue (torchrec_tpu.inference.batching)
+        from torchrec_tpu.inference.batching import (
+            BatchingPredictServer,
+            make_dlrm_collate,
+        )
+
+        def predict_logits(dense, sb, labels):
+            _, (_, logits, _) = module.predict(dense, sb, labels)
+            return logits
+
+        srv = BatchingPredictServer(
+            predict_logits, make_dlrm_collate(keys), B,
+            n_examples=lambda r: r[0].shape[0], max_latency_s=0.002,
+        )
+
+        def ragged_request():
+            nr = rng.randint(1, max(2, B // 4))
+            return (
+                rng.randn(nr, INT_FEATURE_COUNT).astype(np.float32),
+                np.stack(
+                    [rng.randint(0, rows[i], (nr, 1)) for i in range(F)]
+                ).astype(np.int32),
+            )
+
+        warm = srv.predict(ragged_request(), timeout=120)  # compile
+        t0 = time.perf_counter()
+        futs = [
+            srv.submit(ragged_request()) for _ in range(args.num_requests)
+        ]
+        n = sum(f.result(timeout=120).shape[0] for f in futs)
+        dt = time.perf_counter() - t0
+        srv.stop()
+        qps = args.num_requests / dt
+        print(
+            f"micro-batched {args.num_requests} ragged requests "
+            f"(server batch {B}): {qps:.1f} req/s, "
+            f"{n / dt:,.0f} predictions/s, warm_n={warm.shape[0]}"
+        )
+        return {"qps": qps, "predictions_per_sec": n / dt}
 
     # warm (compile) then serve
     d, s, l = request()

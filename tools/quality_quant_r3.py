@@ -122,6 +122,11 @@ def main():
     t0 = time.time()
     for i in range(args.num_batches):
         state, loss, _ = fused_step(state, key)
+        if i % 25 == 24:
+            # periodic host sync: an unbounded async dispatch queue
+            # deadlocks the CPU backend's in-process collectives
+            # (AwaitAndLogIfStuck); harmless on TPU
+            float(loss)
     lf = float(loss)
     print(f"trained {args.num_batches} x {args.batch_size} in "
           f"{time.time() - t0:.0f}s, final loss {lf:.4f}", flush=True)

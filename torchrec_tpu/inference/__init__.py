@@ -1,3 +1,7 @@
+from torchrec_tpu.inference.batching import (  # noqa: F401
+    BatchingPredictServer,
+    make_dlrm_collate,
+)
 from torchrec_tpu.inference.modules import (  # noqa: F401
     PredictFactory,
     PredictFactoryPackager,
