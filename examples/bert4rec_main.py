@@ -246,8 +246,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
         t0 = time.perf_counter()
         loss = None
         key = jax.device_put(jax.random.PRNGKey(args.seed + 31 * epoch))
+        cpu = jax.default_backend() == "cpu"
         for i in range(args.num_batches):
             state, loss, _ = fused_step(state, key)
+            if cpu and i % 25 == 24:
+                # CPU backend: an unbounded async dispatch queue
+                # deadlocks the in-process collectives
+                # (AwaitAndLogIfStuck); TPU skips the sync — a host
+                # roundtrip through the relay costs ~29 ms
+                float(loss)
         float(loss)
         dt = time.perf_counter() - t0
         print(
