@@ -192,10 +192,11 @@ def test_rowwise_momentum_stream_kernel(rng):
         np.arange(512) < 400, rng.rand(512).astype(np.float32), 0.0
     ).astype(np.float32)
     m0 = rng.rand(Rb).astype(np.float32)
-    new_m, inv = pe.rowwise_momentum_stream(
+    new_m, inv, ovf = pe.rowwise_momentum_stream(
         jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
         eps=1e-8, interpret=True,
     )
+    assert not bool(ovf)
     ref_m = m0.copy()
     ref_m[real] += gsq[:400]
     np.testing.assert_allclose(np.asarray(new_m), ref_m, rtol=1e-6,
@@ -239,6 +240,62 @@ def test_apply_fused_update_mom_stream_env(weights, rng, monkeypatch):
     new_w, new_opt = apply_fused_update(
         weights, opt, flat_ids, grads, valid, 0.1
     )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_rowwise_momentum_stream_overflow_flag(rng):
+    """A hot block exceeding the expectation-sized window must raise the
+    overflow flag (callers cond to the XLA path), and forcing worst-case
+    windows (window_rows=TB+1) must clear it and be exact."""
+    Rb = 64 * 128 * 4  # 4 blocks at TB=64
+    n_hot = 6000  # all in block 0: way past the ~2.5x-mean window
+    uids = np.sort(
+        rng.choice(64 * 128, size=n_hot, replace=False)
+    ).astype(np.int32)
+    gsq = rng.rand(n_hot).astype(np.float32)
+    m0 = rng.rand(Rb).astype(np.float32)
+    _, _, ovf = pe.rowwise_momentum_stream(
+        jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
+        interpret=True,
+    )
+    assert bool(ovf)
+    new_m, inv, ovf2 = pe.rowwise_momentum_stream(
+        jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
+        window_rows=65, interpret=True,
+    )
+    assert not bool(ovf2)
+    ref = m0.copy()
+    ref[uids] += gsq
+    np.testing.assert_allclose(np.asarray(new_m), ref, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inv), -1.0 / (np.sqrt(ref[uids]) + 1e-8), rtol=1e-5
+    )
+
+
+def test_mom_stream_zipf_duplicates_fall_back_correctly(monkeypatch):
+    """Duplicate-rich Zipf-like ids overflow the expectation window;
+    the apply_fused_update cond must still produce the exact XLA-path
+    result."""
+    rng2 = np.random.RandomState(7)
+    n = 4000
+    # hot distribution: 80% of tokens hit the first 100 rows
+    hot = rng2.randint(0, 100, size=int(n * 0.8))
+    cold = rng2.randint(0, R, size=n - hot.shape[0])
+    flat_ids = jnp.asarray(
+        np.concatenate([hot, cold]).astype(np.int32)
+    )
+    grads = jnp.asarray(rng2.randn(n, D).astype(np.float32))
+    valid = jnp.ones((n,), bool)
+    w = jnp.asarray(rng2.randn(R, D).astype(np.float32))
+    opt = init_fused_optimizer_state(R, D, EmbOptimType.ROWWISE_ADAGRAD)
+
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "xla")
+    ref_w, ref_opt = apply_fused_update(w, opt, flat_ids, grads, valid, 0.1)
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "stream")
+    new_w, new_opt = apply_fused_update(w, opt, flat_ids, grads, valid, 0.1)
     np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7

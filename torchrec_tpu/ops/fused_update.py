@@ -418,15 +418,32 @@ def apply_fused_update(
             # sorted-position-aligned — no scalar scatter, no gather.
             # Works on sorted-WITH-duplicate ids: dup slots carry
             # g_sq = 0 so they accumulate nothing, and their returned
-            # scale multiplies g = 0.
+            # scale multiplies g = 0. Windows are expectation-sized; a
+            # hot-block distribution (Zipf) overflows them, and the
+            # cond falls back to the XLA path (kernel cost then wasted
+            # — rare by construction).
             from torchrec_tpu.ops.pallas_embedding import (
                 rowwise_momentum_stream,
             )
 
-            new_m, inv = rowwise_momentum_stream(
+            new_m_s, inv_s, ovf = rowwise_momentum_stream(
                 m, uids, g_sq.astype(jnp.float32), eps=eps
             )
-            inv_sqrt = -inv.astype(cdt)  # 1/(sqrt(m_new) + eps), 0 OOB
+
+            def _mom_xla(_):
+                nm = m.at[uids].add(g_sq, mode="drop", **hints)
+                mr = _gather_rowwise_state(nm, 1.0)
+                return nm, (1.0 / (jnp.sqrt(mr) + eps)).astype(
+                    jnp.float32
+                )
+
+            def _mom_stream(_):
+                return new_m_s, (-inv_s).astype(jnp.float32)
+
+            new_m, inv_sqrt = jax.lax.cond(
+                ovf, _mom_xla, _mom_stream, None
+            )
+            inv_sqrt = inv_sqrt.astype(cdt)
         else:
             new_m = m.at[uids].add(g_sq, mode="drop", **hints)
             m_rows = _gather_rowwise_state(new_m, 1.0)

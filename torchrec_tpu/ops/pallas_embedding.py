@@ -515,10 +515,26 @@ def fused_update_rowwise_adagrad(
         (g * g).astype(jnp.float32), axis=1
     ) * valid.astype(jnp.float32)
     if momentum_stream:
-        new_m, inv = rowwise_momentum_stream(
+        new_m_s, inv_s, ovf = rowwise_momentum_stream(
             momentum, uids, g_sq, eps=eps, interpret=interpret
         )
-        scale = (lr * inv).astype(weights.dtype)[:, None]
+
+        def _mom_xla(_):
+            nm = momentum.at[uids].add(
+                g_sq.astype(momentum.dtype), mode="drop", **hints
+            )
+            mr = momentum.at[ids].get(
+                mode="fill", fill_value=0.0, **hints
+            ).astype(jnp.float32) + g_sq
+            return nm, jnp.where(
+                valid > 0, -lr / (jnp.sqrt(mr) + eps), 0.0
+            ).astype(jnp.float32)
+
+        def _mom_stream(_):
+            return new_m_s, (lr * inv_s).astype(jnp.float32)
+
+        new_m, scale1d = jax.lax.cond(ovf, _mom_xla, _mom_stream, None)
+        scale = scale1d.astype(weights.dtype)[:, None]
     else:
         new_m = momentum.at[uids].add(
             g_sq.astype(momentum.dtype), mode="drop", **hints
@@ -649,23 +665,35 @@ def rowwise_momentum_stream(
     uids: Array,
     g_sq: Array,
     eps: float = 1.0e-8,
-    TB: int = 8,
+    TB: int = 64,
+    window_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """Streaming rowwise-momentum accumulate + per-id inverse scale.
 
-    momentum [R] f32; uids [N] SORTED UNIQUE ascending (dedup_row_grads
-    output: real ids first, then distinct sentinels >= R); g_sq [N] f32
-    combined mean(g²) per unique id (0 at sentinel slots).
+    momentum [R] f32; uids [N] SORTED ascending (dedup_row_grads output:
+    real ids first, then distinct sentinels >= R; sorted-with-duplicates
+    also works when dup slots carry g_sq = 0); g_sq [N] f32 combined
+    mean(g²) per id.
 
-    Returns (new_momentum [R], inv_scale [N]) where inv_scale[p] =
-    -1/(sqrt(new_m[uids[p]]) + eps) for valid p (0/garbage at sentinel
-    slots — callers mask). The whole momentum array streams through
-    VMEM in [TB, 128] tiles (tiny: 4 B/row vs 512 B/row for weights),
-    killing both the XLA scalar-scatter dispatch floor (~9.5 ns/elem,
-    2.0 ms at bench shapes) and the separate scale gather (~0.8 ms) —
+    Returns (new_momentum [R], inv_scale [N], overflowed []) where
+    inv_scale[p] = -1/(sqrt(new_m[uids[p]]) + eps) for valid p (0 at
+    sentinel slots). The whole momentum array streams through VMEM in
+    [TB, 128] tiles (tiny: 4 B/row vs 512 B/row for weights), killing
+    both the XLA scalar-scatter dispatch floor (~9.5 ns/elem, 2.0 ms at
+    bench shapes) and the separate scale gather (~0.8 ms) —
     contributions arrive sorted, so each tile's inputs are one
     contiguous window located by a searchsorted prepass.
+
+    `window_rows` sizes each block's contribution window in 128-element
+    sublane rows. The MXU cost of the in-tile one-hot accumulate is
+    nblocks x window x (TB + 128), so windows are sized to the EXPECTED
+    per-block occupancy (~2.5x mean + slack), not the worst case; when
+    any block's contributions exceed the window (id distributions with
+    hot blocks — Zipf), the kernel result is INCOMPLETE and `overflowed`
+    is True — callers must lax.cond to a fallback (ops/fused_update.py
+    does). Passing window_rows=TB+1 restores the can't-overflow worst
+    case (the right call for small R where the window cost is trivial).
     """
     interpret = _auto_interpret(interpret)
     R = momentum.shape[0]
@@ -673,7 +701,12 @@ def rowwise_momentum_stream(
     block_rows = TB * 128
     nblocks = max(1, -(-R // block_rows))
     Rp = nblocks * block_rows
-    KR = TB + 1  # window sublane rows: <= TB*128 contribs + alignment
+    if window_rows is None:
+        mean_occ = N * block_rows / max(Rp, 1)
+        window_rows = int(
+            min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2))
+        )
+    KR = window_rows
 
     m2d = jnp.pad(momentum, (0, Rp - R)).reshape(Rp // 128, 128)
     # pad ids to a lane multiple plus KR slack rows of sentinels
@@ -689,10 +722,16 @@ def rowwise_momentum_stream(
     gsq2d = gsq_p.reshape(Np // 128, 128)
     sc0 = jnp.zeros((Np // 128, 128), jnp.float32)
 
-    starts = jnp.searchsorted(
-        ids_p, jnp.arange(nblocks, dtype=jnp.int32) * block_rows
+    bounds = jnp.arange(nblocks + 1, dtype=jnp.int32) * block_rows
+    # real contributions only: all real ids < R <= any sentinel, so
+    # clamping the upper bounds to R keeps tail sentinels out of the
+    # occupancy (they'd spuriously overflow the last block's window)
+    edges = jnp.searchsorted(
+        ids_p, jnp.minimum(bounds, R).astype(jnp.int32)
     ).astype(jnp.int32)
+    starts, ends = edges[:-1], edges[1:]
     wrows = starts // 128
+    overflowed = jnp.any(ends > wrows * 128 + KR * 128)
 
     new_m2d, sc2d = pl.pallas_call(
         functools.partial(
@@ -734,7 +773,7 @@ def rowwise_momentum_stream(
     )(wrows, m2d, ids2d, gsq2d, sc0)
     new_m = new_m2d.reshape(-1)[:R]
     inv_scale = sc2d.reshape(-1)[:N]
-    return new_m, inv_scale
+    return new_m, inv_scale, overflowed
 
 
 def fused_update_adagrad(
