@@ -47,7 +47,7 @@ def main():
     mom = 0.0
     if args.optim == "rowwise_adagrad":
         mom = min(
-            cost_model.mom_xla_s(n_ids), cost_model.mom_stream_s(total_rows)
+            cost_model.mom_xla_s(n_ids), cost_model.mom_stream_s(total_rows, n_ids)
         )
 
     # dense arches: fwd+bwd FLOPs at the bf16 MXU (2x fwd for bwd)
@@ -84,7 +84,7 @@ def main():
     if args.optim == "rowwise_adagrad":
         print(f"  momentum {mom*1e3:7.2f} ms  "
               f"(xla {cost_model.mom_xla_s(n_ids)*1e3:.2f} / "
-              f"stream {cost_model.mom_stream_s(total_rows)*1e3:.2f})")
+              f"stream {cost_model.mom_stream_s(total_rows, n_ids)*1e3:.2f})")
     print(f"  dense    {dense_s*1e3:7.2f} ms")
     print(f"  misc     {misc_s*1e3:7.2f} ms")
     print(f"predicted single-chip step {step_s*1e3:.2f} ms -> "

@@ -50,13 +50,15 @@ def fused_update_s(rows_touched: float, operand_bytes: float) -> float:
 # --- rowwise momentum side (r3) -------------------------------------------
 # XLA path = scalar scatter (~9.5 ns/elem) + 128-wide-row gather + one-hot
 # lane select (~0.8 ms at N=213k => ~3.8 ns/elem) + run-total overheads.
-# Streaming Pallas kernel = whole [R] momentum through VMEM tiles (in+out)
-# + sorted contribution windows (~9/8 coverage) + one-hot MXU accumulate
-# (~2.4 kFLOP per table row, R-bound). PROVISIONAL until the r3 chip
+# Streaming Pallas kernel (expectation-sized windows, TB=64 blocks) =
+# whole [R] momentum through VMEM tiles (stream, R-bound) + one-hot MXU
+# accumulate: 2 dots x TB x window x 128 MAC per block with window =
+# ~2.5 x mean occupancy => total ~= 2 x TB x 128 x 2.5 x 2 FLOP/elem
+# ~= 41 kFLOP per contribution (N-bound). PROVISIONAL until the r3 chip
 # campaign lands (tools/bench_mom_stream_r3.py); re-measure HERE only.
 MOM_XLA_NS_PER_ELEM = 13.5  # scatter 9.5 + wide-gather lane select ~4
 MOM_STREAM_BYTES_PER_ROW = 25.0  # m in+out (8) + id/gsq/scale windows
-MOM_STREAM_FLOP_PER_ROW = 2400.0
+MOM_STREAM_FLOP_PER_ELEM = 41.0e3  # one-hot dots, expectation windows
 MXU_F32_FLOPS_S = 45.0e12
 MOM_STREAM_FIXED_S = 30.0e-6
 
@@ -66,10 +68,11 @@ def mom_xla_s(n_elems: float) -> float:
     return n_elems * MOM_XLA_NS_PER_ELEM * 1e-9
 
 
-def mom_stream_s(table_rows: float) -> float:
-    """Streaming Pallas rowwise-momentum kernel (R-bound, N-free)."""
+def mom_stream_s(table_rows: float, n_elems: float = 213_000.0) -> float:
+    """Streaming Pallas rowwise-momentum kernel: R-bound stream +
+    N-bound one-hot accumulate."""
     return (
         table_rows * MOM_STREAM_BYTES_PER_ROW / STREAM_BW_BYTES_S
-        + table_rows * MOM_STREAM_FLOP_PER_ROW / MXU_F32_FLOPS_S
+        + n_elems * MOM_STREAM_FLOP_PER_ELEM / MXU_F32_FLOPS_S
         + MOM_STREAM_FIXED_S
     )

@@ -631,7 +631,7 @@ def _use_mom_stream(R: int, N: int) -> bool:
 
     return (
         jax.default_backend() == "tpu"
-        and mom_stream_s(R) < mom_xla_s(N)
+        and mom_stream_s(R, N) < mom_xla_s(N)
     )
 
 
