@@ -616,42 +616,54 @@ def _rowwise_mom_stream_kernel(
         out_sc.at[pl.ds(row0, KR)], sc_s, sems.at[2]
     ).wait()
 
-    E = KR * 128
-    ids = ids_s[:].reshape(1, E)
-    gsq = g_s[:].reshape(1, E)
+    # All compute stays in the natural [*, 128] lane layout — a
+    # [KR,128] -> [1, KR*128] flatten would be a sublane->lane relayout
+    # Mosaic handles poorly. The window is processed one sublane row at
+    # a time (KR is small and static, so the loop unrolls): per row k,
+    # one [TB,128]@[128,128] accumulate matmul and one [128,TB]@[TB,128]
+    # gather matmul — total MXU cycles = window elements, same as the
+    # flattened form.
     block_lo = b * TB * 128
-    rel = ids - block_lo
-    valid = (rel >= 0) & (rel < TB * 128) & (ids < R)
-    rel = jnp.where(valid, rel, 0)
-    row = jax.lax.div(rel, 128)
-    lane = jax.lax.rem(rel, 128)
+    rel_all = ids_s[:] - block_lo  # [KR, 128]
+    valid_all = (rel_all >= 0) & (rel_all < TB * 128) & (ids_s[:] < R)
+    rel_all = jnp.where(valid_all, rel_all, 0)
+    row_all = jax.lax.div(rel_all, 128)
+    lane_all = jax.lax.rem(rel_all, 128)
+    gsq_all = g_s[:]
 
-    # one-hot selectors ([TB, E] row select, [E, 128] lane select)
-    rsel_f = (
-        (jax.lax.broadcasted_iota(jnp.int32, (TB, E), 0) == row) & valid
-    ).astype(jnp.float32)
-    lsel_f = (
-        jax.lax.broadcasted_iota(jnp.int32, (E, 128), 1)
-        == lane.reshape(E, 1)
-    ).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0)
 
-    # accumulate: m_delta[r, c] = sum_e rsel[r,e] * lsel[e,c] * gsq[e]
-    m_new = m_ref[:] + jax.lax.dot(
-        rsel_f, lsel_f * gsq.reshape(E, 1),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    m_new = m_ref[:]
+    lsels = []
+    for k in range(KR):
+        # rsel_k[r, j] = 1 iff window element j targets tile row r
+        rsel_k = (
+            (row_iota == row_all[k][None, :]) & valid_all[k][None, :]
+        ).astype(jnp.float32)  # [TB, 128j]
+        # lsel_k[j, c] = 1 iff element j targets lane c
+        lsel_k = (lane_iota == lane_all[k][:, None]).astype(
+            jnp.float32
+        )  # [128j, 128c]
+        lsels.append((rsel_k, lsel_k))
+        m_new = m_new + jax.lax.dot(
+            rsel_k, lsel_k * gsq_all[k][:, None], precision=hp
+        )
     out_m[:] = m_new
 
-    # per-contribution m_new (unique ids: m_new[id] = m_old + gsq):
-    # tmp[e, c] = sum_r rsel[r, e] * m_new[r, c]; reduce lanes by lsel
-    tmp = jax.lax.dot(
-        rsel_f.T, m_new, precision=jax.lax.Precision.HIGHEST
-    )  # [E, 128]
-    m_e = jnp.sum(tmp * lsel_f, axis=1)  # [E]
-    inv = -1.0 / (jnp.sqrt(m_e) + eps)
-    sc_s[:] = jnp.where(
-        valid.reshape(KR, 128), inv.reshape(KR, 128), sc_s[:]
-    )
+    # per-contribution m_new (each row's single contribution is its
+    # own: m_new[id] = m_old[id] + gsq[id]) -> inverse scale
+    inv_rows = []
+    for k in range(KR):
+        rsel_k, lsel_k = lsels[k]
+        tmp_k = jax.lax.dot_general(
+            rsel_k, m_new, (((0,), (0,)), ((), ())), precision=hp
+        )  # [128j, 128c]
+        m_e_k = jnp.sum(tmp_k * lsel_k, axis=1)  # [128]
+        inv_rows.append(-1.0 / (jnp.sqrt(m_e_k) + eps))
+    inv = jnp.stack(inv_rows)  # [KR, 128]
+    sc_s[:] = jnp.where(valid_all, inv, sc_s[:])
     pltpu.make_async_copy(
         sc_s, out_sc.at[pl.ds(row0, KR)], sems.at[3]
     ).start()
