@@ -215,6 +215,65 @@ def _throughput(dmp, rows, zipf_a=None, per_table_rows=None):
     return STEPS * B / best_dt
 
 
+def _rowwise_breakdown():
+    """Per-op floor decomposition of the ROWWISE_ADAGRAD fused update at
+    bench shapes (VERDICT r2 item 3: if rowwise misses 1.0x, the gap
+    must be a documented floor, not an open question). Times the full
+    update under each momentum impl plus the EXACT_SGD update (the
+    shared w-scatter + sort floor); momentum cost = rowwise - sgd."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.tpu_timing import bench_chain
+    from torchrec_tpu.ops.fused_update import (
+        EmbOptimType,
+        apply_fused_update,
+        init_fused_optimizer_state,
+    )
+
+    R = NUM_TABLES * ROWS
+    N = NUM_TABLES * B
+    rng = np.random.RandomState(0)
+    ids0 = jnp.asarray(np.sort(rng.randint(0, R, N).astype(np.int32)))
+    w0 = jnp.zeros((R, DIM), jnp.float32) + 0.01
+    valid = jnp.ones((N,), bool)
+
+    def timed(optim, impl):
+        os.environ["TORCHREC_TPU_MOM_IMPL"] = impl
+        opt0 = init_fused_optimizer_state(R, DIM, optim)
+
+        def step(c):
+            w, opt, ids = c
+            g = jnp.full((N, DIM), 1e-4, jnp.float32)
+            new_w, new_opt = apply_fused_update(
+                w, opt, ids, g, valid, jnp.float32(0.01),
+                stochastic_rounding=False,
+            )
+            bump = (new_w[0, 0] > -1.0).astype(jnp.int32)
+            return (new_w, new_opt, (ids + bump) % R)
+
+        return bench_chain(
+            step, (w0, opt0, ids0), k1=5, k2=25, donate=True
+        )
+
+    try:
+        sgd = timed(EmbOptimType.EXACT_SGD, "xla")
+        rw_x = timed(EmbOptimType.ROWWISE_ADAGRAD, "xla")
+        rw_s = timed(EmbOptimType.ROWWISE_ADAGRAD, "stream")
+    finally:
+        os.environ.pop("TORCHREC_TPU_MOM_IMPL", None)
+    return {
+        "exact_sgd_update_ms": round(sgd * 1e3, 3),
+        "rowwise_update_xla_mom_ms": round(rw_x * 1e3, 3),
+        "rowwise_update_stream_mom_ms": round(rw_s * 1e3, 3),
+        "momentum_cost_xla_ms": round((rw_x - sgd) * 1e3, 3),
+        "momentum_cost_stream_ms": round((rw_s - sgd) * 1e3, 3),
+        "note": "sgd = shared w-scatter+sort floor; momentum = rowwise "
+                "minus that floor, per impl (stream = r3 tile-scatter "
+                "kernel)",
+    }
+
+
 def _lookup_roofline():
     """Achieved GB/s of the TBE fwd-gather + fused-update sequence at
     bench shapes vs the HBM roofline. Traffic = fwd row reads + update
@@ -397,6 +456,7 @@ def main():
     suite("rowwise_adagrad", 240, _rw)
     suite("pod_shard", 240, _pod_shard("exact_sgd"))
     suite("pod_shard_rowwise", 240, _pod_shard("rowwise_adagrad"))
+    suite("rowwise_breakdown", 240, _rowwise_breakdown)
     suite("zipf", 240, _zipf)
     suite("lookup_roofline", 180, _lookup_roofline)
     suite("hbm_scale", 600, _hbm)

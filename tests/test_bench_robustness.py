@@ -56,6 +56,8 @@ def test_headline_emitted_immediately_and_enriched(monkeypatch, capsys):
                 "zipf", "hbm_scale"):
         assert key in last, f"suite {key} missing from final record"
         assert last[key].get("value", 0) > 0 or "error" in last[key]
+    bd = last["rowwise_breakdown"]
+    assert "error" in bd or bd["exact_sgd_update_ms"] > 0
     assert last["pod_shard"]["pod_chips"] == 4
 
 
