@@ -66,7 +66,7 @@ MLPERF_CARDINALITIES = (
 POD_CHIPS = 64
 
 _OUT = {}          # mutated in place; emitted by main, watchdog, SIGTERM
-_EMIT_LOCK = threading.Lock()
+_EMIT_LOCK = threading.RLock()  # SIGTERM handler emits on the same thread
 
 
 def _emit():
@@ -256,12 +256,16 @@ def _rowwise_breakdown():
             step, (w0, opt0, ids0), k1=5, k2=25, donate=True
         )
 
+    prev_impl = os.environ.get("TORCHREC_TPU_MOM_IMPL")
     try:
         sgd = timed(EmbOptimType.EXACT_SGD, "xla")
         rw_x = timed(EmbOptimType.ROWWISE_ADAGRAD, "xla")
         rw_s = timed(EmbOptimType.ROWWISE_ADAGRAD, "stream")
     finally:
-        os.environ.pop("TORCHREC_TPU_MOM_IMPL", None)
+        if prev_impl is None:
+            os.environ.pop("TORCHREC_TPU_MOM_IMPL", None)
+        else:
+            os.environ["TORCHREC_TPU_MOM_IMPL"] = prev_impl
     return {
         "exact_sgd_update_ms": round(sgd * 1e3, 3),
         "rowwise_update_xla_mom_ms": round(rw_x * 1e3, 3),
@@ -396,9 +400,14 @@ def main():
 
     def suite(name, need_s, fn):
         """Optional suites never lose the already-measured headline:
-        skipped out of budget, exceptions reported in-line, and the
-        enriched record re-emitted after every suite."""
+        skipped out of budget (recorded explicitly, so an absent number
+        reads as a budget decision, not a transient failure), exceptions
+        reported in-line, and the enriched record re-emitted after every
+        suite."""
         if not in_budget(need_s):
+            if not fast:
+                _OUT[name] = {"skipped": f"budget (needs ~{need_s}s; "
+                                         "raise TORCHREC_BENCH_BUDGET_S)"}
             return
         try:
             _OUT[name] = fn()

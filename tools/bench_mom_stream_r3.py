@@ -94,9 +94,13 @@ def main():
 
         def step(c):
             m, ids = c
-            new_m, inv = rowwise_momentum_stream(m, ids, gsq, eps=1e-8)
+            new_m, inv, _ovf = rowwise_momentum_stream(
+                m, ids, gsq, eps=1e-8
+            )
             bump = (inv[0] < 1.0).astype(jnp.int32)
-            return (new_m, (ids + bump) % R)
+            # min keeps uids SORTED (the kernel precondition); a modulo
+            # wrap would unsort them and time a garbage-window workload
+            return (new_m, jnp.minimum(ids + bump, R - 1))
 
         t = bench_chain(
             step, (m0, jnp.asarray(ids0)), k1=5, k2=25, donate=True

@@ -89,12 +89,16 @@ def mode_hlo(n_devices):
     # map async start/done pairs by result name: HLO lines read
     #   %name = TYPE all-gather-start(...), and later
     #   %other = TYPE all-gather-done(%name)
+    # result types of async starts are TUPLES — '(f32[...], f32[...])'
+    # contains spaces, so match lazily up to the op name
     start_re = re.compile(
-        r"%?([\w.\-]+)\s*=\s*\S+\s+(all-gather-start|all-reduce-start|"
+        r"%?([\w.\-]+)\s*=\s*.*?\s(all-gather-start|all-reduce-start|"
+        r"all-to-all-start|reduce-scatter-start|"
         r"collective-permute-start|async-start)\b"
     )
     done_re = re.compile(
-        r"(all-gather-done|all-reduce-done|collective-permute-done|"
+        r"(all-gather-done|all-reduce-done|all-to-all-done|"
+        r"reduce-scatter-done|collective-permute-done|"
         r"async-done)\(\s*%?([\w.\-]+)"
     )
     pairs = []  # (start_line_idx, done_line_idx, kind)
@@ -159,8 +163,11 @@ def mode_trace(steps=20):
         return
     from tools.parse_trace import load_ops
 
-    ops = load_ops(traces[0])  # deduped (name, ts) XLA Ops lane
+    ops = load_ops(tmp)  # deduped (name, ts) XLA Ops lane (DIR arg)
     tot = sum(d for _, d in ops)
+    if not tot:
+        print(f"trace parsed but no XLA Ops lane events under {tmp}")
+        return
     emb = sum(d for n, d in ops
               if re.search(r"gather|scatter|sort|dynamic", n, re.I))
     dense = sum(d for n, d in ops

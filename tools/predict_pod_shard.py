@@ -17,7 +17,14 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from bench import B, DENSE_IN, DIM, MLPERF_CARDINALITIES, NUM_TABLES
+from bench import (
+    B,
+    BASELINE_PER_GPU,
+    DENSE_IN,
+    DIM,
+    MLPERF_CARDINALITIES,
+    NUM_TABLES,
+)
 from torchrec_tpu.ops import cost_model
 
 
@@ -89,7 +96,7 @@ def main():
     print(f"  misc     {misc_s*1e3:7.2f} ms")
     print(f"predicted single-chip step {step_s*1e3:.2f} ms -> "
           f"{ex_s:,.0f} ex/s/chip "
-          f"(vs A100 baseline {ex_s/687145:.3f}x)")
+          f"(vs A100 baseline {ex_s/BASELINE_PER_GPU:.3f}x)")
 
 
 if __name__ == "__main__":

@@ -140,11 +140,14 @@ class BatchingPredictServer:
                         if getattr(a, "ndim", 0) >= 1 else a,
                         out,
                     )
-                    p.future.set_result(sl)
+                    # a client may have cancelled (e.g. result() timed
+                    # out); that must not poison the rest of the batch
+                    if not p.future.cancelled():
+                        p.future.set_result(sl)
                     off += p.n
             except Exception as e:  # noqa: BLE001 - delivered per future
                 for p in batch:
-                    if not p.future.done():
+                    if not p.future.done() and not p.future.cancelled():
                         p.future.set_exception(e)
 
 
