@@ -300,3 +300,75 @@ def test_mom_stream_zipf_duplicates_fall_back_correctly(monkeypatch):
     np.testing.assert_allclose(
         new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
     )
+
+
+def test_mom_stream_through_dmp_sharded_update(monkeypatch):
+    """TORCHREC_TPU_MOM_IMPL=stream must work INSIDE the strategies'
+    shard_map update programs — that is exactly how the kernel runs on a
+    real chip (where _use_mom_stream picks it automatically). Golden
+    parity vs the xla impl through a full 8-device RW DMP train step."""
+    import optax
+
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    def run(impl):
+        monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", impl)
+        tables = tuple(
+            EmbeddingBagConfig(num_embeddings=300, embedding_dim=16,
+                               name=f"t{i}", feature_names=[f"f{i}"])
+            for i in range(2)
+        )
+        model = DLRMTrain(dlrm=DLRM(
+            embedding_bag_collection=EmbeddingBagCollection(
+                tables=tables, max_feature_length=2),
+            dense_in_features=4, dense_arch_layer_sizes=(8, 16),
+            over_arch_layer_sizes=(8, 1),
+        ))
+        dmp = DistributedModelParallel(
+            model, env=ShardingEnv.from_devices(jax.devices()[:8]),
+            plan=ShardingPlan({"dlrm/embedding_bag_collection": {
+                "t0": ParameterSharding(ShardingType.ROW_WISE),
+                "t1": ParameterSharding(ShardingType.ROW_WISE),
+            }}),
+            fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+            fused_params={"learning_rate": 0.1},
+            dense_optimizer=optax.sgd(0.1),
+        )
+        rng2 = np.random.RandomState(0)
+        B = 16
+        sb = KeyedJaggedTensor.from_lengths(
+            ["f0", "f1"],
+            jnp.asarray(rng2.randint(0, 300, 2 * B * 2), jnp.int32),
+            jnp.asarray(np.full(2 * B, 2, np.int32)),
+        ).to_padded(2)
+        dense = jnp.asarray(rng2.randn(B, 4).astype(np.float32))
+        labels = jnp.asarray((rng2.rand(B) > 0.5).astype(np.float32))
+        state = dmp.init(jax.random.PRNGKey(0), dense, sb, labels)
+        step = dmp.make_train_step(donate=False)
+        for _ in range(2):
+            state, loss, _ = step(state, dense, sb, labels)
+        ebc = dmp.sharded_ebcs["dlrm/embedding_bag_collection"]
+        return float(loss), {
+            k: np.asarray(v) for k, v in ebc.unshard_to_dense(
+                state.emb_states["dlrm/embedding_bag_collection"]
+            ).items()
+        }
+
+    loss_x, w_x = run("xla")
+    loss_s, w_s = run("stream")
+    assert np.isfinite(loss_s)
+    np.testing.assert_allclose(loss_s, loss_x, rtol=1e-5)
+    for k in w_x:
+        np.testing.assert_allclose(w_s[k], w_x[k], rtol=1e-5, atol=1e-6)
