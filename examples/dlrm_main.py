@@ -67,6 +67,12 @@ def parse_args(argv) -> argparse.Namespace:
                    help="memory-map the Criteo npy files instead of "
                         "loading them into RAM (ref dlrm CLI flag)")
     p.add_argument("--validation_freq_within_epoch", type=int, default=None)
+    p.add_argument("--train_pipeline", type=str, default="base",
+                   choices=["base", "sparse_dist"],
+                   help="loader-path pipeline: 'sparse_dist' fuses batch "
+                        "i+1's sparse input dist into batch i's step (the "
+                        "reference's TRAIN_PIPELINE_STAGES=3 overlap, ref "
+                        "examples/dlrm/dlrm_main.py:58)")
     p.add_argument("--save_dir", type=str, default=None,
                    help="write a re-shardable checkpoint after training "
                         "(ref: state_dict checkpointing)")
@@ -311,8 +317,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     run_validation(state, f"epoch {epoch} it {n}")
             float(loss)  # hard sync before timing
         else:
-            pipe = TrainPipeline(train_step, state)
-            it = iter(make_loader("train"))
+            if args.train_pipeline == "sparse_dist":
+                from torchrec_tpu.parallel.train_pipeline import (
+                    SparseDistPipeline,
+                )
+
+                pipe = SparseDistPipeline(dmp, state)
+                it = (batch_args(b) for b in make_loader("train"))
+            else:
+                pipe = TrainPipeline(train_step, state)
+                it = iter(make_loader("train"))
             while True:
                 try:
                     loss, _ = pipe.progress(it)

@@ -75,14 +75,23 @@ def _build_step(n_devices):
 
     state = dmp.init(_j.random.PRNGKey(0), *batch)
     step = dmp.make_train_step(donate=False, jit=False)
-    return step, state, batch
+    return step, state, batch, dmp
 
 
-def mode_hlo(n_devices):
+def mode_hlo(n_devices, prefetch=False):
     import jax
 
-    step, state, batch = _build_step(n_devices)
-    lowered = jax.jit(step).lower(state, *batch)
+    step, state, batch, dmp = _build_step(n_devices)
+    if prefetch:
+        # the fused two-batch program: batch i's step + batch i+1's id
+        # all_gather with NO dependency between them — the start..done
+        # window of the prefetch gathers should span the dense compute
+        sb = batch[1]
+        dists = jax.jit(dmp.input_dist)(sb)
+        pstep = dmp.make_prefetched_train_step(donate=False, jit=False)
+        lowered = jax.jit(pstep).lower(state, dists, sb, *batch)
+    else:
+        lowered = jax.jit(step).lower(state, *batch)
     hlo = lowered.compile().as_text()
     lines = hlo.splitlines()
 
@@ -145,7 +154,7 @@ def mode_trace(steps=20):
 
     import jax
 
-    step, state, batch = _build_step(1)
+    step, state, batch, _ = _build_step(1)
     jstep = jax.jit(step)
     state, loss, _ = jstep(state, *batch)
     float(loss)
@@ -183,9 +192,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["hlo", "trace"], default="hlo")
     p.add_argument("--n_devices", type=int, default=8)
+    p.add_argument(
+        "--prefetch", action="store_true",
+        help="analyze the prefetched (fused two-batch) step instead",
+    )
     args = p.parse_args()
     if args.mode == "hlo":
-        mode_hlo(args.n_devices)
+        mode_hlo(args.n_devices, prefetch=args.prefetch)
     else:
         mode_trace()
 

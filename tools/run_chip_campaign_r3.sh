@@ -19,6 +19,7 @@ timeout 2400 python tools/bench_mom_stream_r3.py --rows 18200000
 echo "=== 3. overlap evidence $(date) ==="
 timeout 1200 python tools/overlap_r3.py --mode trace
 timeout 1200 python tools/overlap_r3.py --mode hlo --n_devices 1
+timeout 1200 python tools/overlap_r3.py --mode hlo --n_devices 1 --prefetch
 
 echo "=== 4. quality (chip scale) $(date) ==="
 bash tools/run_quality_r3.sh

@@ -711,15 +711,16 @@ class DistributedModelParallel:
                 inj[var] = values
         return inj
 
-    def _forward_values(self, state: DMPState, key: str, sb):
+    def _forward_values(self, state: DMPState, key: str, sb, dist=None):
         ebc = self.sharded_ebcs[key]
         if self._kinds[key] == "ec":
             return ebc.forward_stacked(state.emb_states[key], sb)
         if self._kinds[key] == "tower":
             return ebc.forward(state.emb_states[key], sb)  # [B, sum d_out]
-        return ebc.forward(state.emb_states[key], sb).values
+        return ebc.forward(state.emb_states[key], sb, dist=dist).values
 
-    def _update_module(self, state_emb, key: str, sb, d_values, step):
+    def _update_module(self, state_emb, key: str, sb, d_values, step,
+                       dist=None):
         ebc = self.sharded_ebcs[key]
         lr = (
             self.fused_lr_schedule(step)
@@ -728,7 +729,9 @@ class DistributedModelParallel:
         )
         if self._kinds[key] == "ec":
             return ebc.update_stacked(state_emb, sb, d_values, lr)
-        return ebc.update(state_emb, sb, d_values, lr)
+        if self._kinds[key] == "tower":
+            return ebc.update(state_emb, sb, d_values, lr)
+        return ebc.update(state_emb, sb, d_values, lr, dist=dist)
 
     def _find_sparse_arg(self, args) -> PaddedSparseBatch:
         for a in args:
@@ -808,6 +811,7 @@ class DistributedModelParallel:
         loss_fn: Optional[Callable] = None,
         donate: bool = True,
         jit: bool = True,
+        _return_core: bool = False,
     ):
         """Build a jittable train step.
 
@@ -819,11 +823,13 @@ class DistributedModelParallel:
         on remote-attached TPUs).
         """
 
-        def train_step_core(state: DMPState, uvm_vals, *args):
+        def train_step_core(state: DMPState, uvm_vals, dists, *args):
             """Traceable core; uvm_vals maps UVM module keys to their
             host-staged pooled [B, sum D_uvm] arrays (empty when no
-            FUSED_UVM_CACHING tables are planned). Returns the UVM slice
-            of the pooled cotangent for the host-side update."""
+            FUSED_UVM_CACHING tables are planned); dists maps module keys
+            to pre-gathered input dists (see make_prefetched_train_step).
+            Returns the UVM slice of the pooled cotangent for the
+            host-side update."""
             sb = self._find_sparse_arg(args)
             pooled = {}
             sb_mod = {}  # per-module batch (FP modules carry live weights)
@@ -857,7 +863,9 @@ class DistributedModelParallel:
                     )
                     sb_mod[key] = sb.replace(weights=w)
                 else:
-                    pooled[key] = self._forward_values(state, key, sb)
+                    pooled[key] = self._forward_values(
+                        state, key, sb, dist=dists.get(key)
+                    )
                     sb_mod[key] = sb
 
             def f(dense_params, injected_pooled):
@@ -906,6 +914,7 @@ class DistributedModelParallel:
                     new_emb[key] = self._update_module(
                         state.emb_states[key], key, sb_mod[key],
                         d_pooled[key], state.step,
+                        dist=dists.get(key),
                     )
             new_state = DMPState(
                 dense_params=new_dense,
@@ -914,6 +923,11 @@ class DistributedModelParallel:
                 step=state.step + 1,
             )
             return new_state, loss, aux, d_uvm_out
+
+        if _return_core:
+            # raw traceable core (state, uvm_vals, dists, *args) for the
+            # prefetched-step wrapper
+            return train_step_core
 
         if self._uvm_split:
             # Host-orchestrated step: stage UVM rows (host) -> ONE jitted
@@ -938,7 +952,9 @@ class DistributedModelParallel:
                     k: self._uvm_forward_values(k, sb) for k in uvm_keys
                 }
                 lr = self._host_lr(state)
-                new_state, loss, aux, d_uvm = inner(state, uvm_vals, *args)
+                new_state, loss, aux, d_uvm = inner(
+                    state, uvm_vals, {}, *args
+                )
                 for k in uvm_keys:
                     self._uvm_mods[k].update(sb, d_uvm[k], lr)
                 return new_state, loss, aux
@@ -946,7 +962,7 @@ class DistributedModelParallel:
             return uvm_step
 
         def train_step(state: DMPState, *args):
-            out = train_step_core(state, {}, *args)
+            out = train_step_core(state, {}, {}, *args)
             return out[0], out[1], out[2]
 
         if not jit:
@@ -954,6 +970,70 @@ class DistributedModelParallel:
         if donate:
             return jax.jit(train_step, donate_argnums=(0,))
         return jax.jit(train_step)
+
+    # -- cross-batch input-dist prefetch ------------------------------------
+
+    def _dist_keys(self) -> Tuple[str, ...]:
+        """Module keys whose sparse input dist is prefetchable: plain
+        sharded EBCs without feature processors (their per-sample weights
+        are computed in-step from live dense params) or UVM staging."""
+        return tuple(
+            k
+            for k, ebc in self.sharded_ebcs.items()
+            if ebc is not None
+            and self._kinds[k] == "ebc"
+            and k not in self._fps
+            and k not in self._uvm_split
+        )
+
+    def input_dist(self, sb: PaddedSparseBatch) -> Dict[str, tuple]:
+        """Batch i+1's prefetchable sparse input dist (jittable,
+        parameter-independent): {module key -> per-group pre-gathered
+        batches}. Groups/modules that must gather in-step are absent.
+        ref: the pre-issued input_dist of TrainPipelineSparseDist
+        (train_pipeline.py:422-536)."""
+        out = {}
+        for key in self._dist_keys():
+            dist = self.sharded_ebcs[key].input_dist(sb)
+            if any(d is not None for d in dist):
+                out[key] = dist
+        return out
+
+    def make_prefetched_train_step(
+        self,
+        loss_fn: Optional[Callable] = None,
+        donate: bool = True,
+        jit: bool = True,
+    ):
+        """Build the 3-stage pipelined step: batch i+1's sparse input dist
+        is fused INTO batch i's program with no data dependency on it, so
+        XLA overlaps the id all_gathers with batch i's dense compute (the
+        reference's cross-batch input-dist overlap,
+        ref train_pipeline.py:422-536, without streams or FX rewrites).
+
+        Returns step(state, dists, next_sb, *args) ->
+        (new_state, loss, aux, next_dists) where `dists` comes from
+        `input_dist` (prime with input_dist(batch_0)) and *args are batch
+        i's model args. Numerics are identical to make_train_step."""
+        if self._uvm_split:
+            raise ValueError(
+                "prefetched train step does not support FUSED_UVM_CACHING "
+                "tables (the step is host-orchestrated)"
+            )
+        core = self.make_train_step(
+            loss_fn=loss_fn, donate=donate, jit=False, _return_core=True
+        )
+
+        def step(state: DMPState, dists, next_sb, *args):
+            new_state, loss, aux, _ = core(state, {}, dists, *args)
+            next_dists = self.input_dist(next_sb)
+            return new_state, loss, aux, next_dists
+
+        if not jit:
+            return step
+        if donate:
+            return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step)
 
     # -- checkpoint-ish helpers (ref: model_parallel.py:392-513) -----------
 

@@ -110,10 +110,26 @@ class ShardedEmbeddingBagCollection:
         key_index = {k: i for i, k in enumerate(sb.keys)}
         return sb.select_features([key_index[f] for f in feats])
 
+    def input_dist(
+        self, sb: PaddedSparseBatch
+    ) -> Tuple[Optional[PaddedSparseBatch], ...]:
+        """The prefetchable sparse input dist: per-group pre-gathered
+        global batches (None for groups whose strategy gathers in-step).
+        Feed the result to forward/update's `dist` to skip the in-step id
+        all_gather — the TPU analogue of the reference's pre-issued
+        input dist (ref train_pipeline.py:422-536)."""
+        return tuple(
+            strat.input_dist(self._group_batch(sb, gi))
+            if strat.supports_input_dist
+            else None
+            for gi, strat in enumerate(self.strategies)
+        )
+
     def forward(
         self,
         states: Sequence[EmbeddingGroupState],
         sb: PaddedSparseBatch,
+        dist: Optional[Tuple[Optional[PaddedSparseBatch], ...]] = None,
     ) -> KeyedTensor:
         """-> KeyedTensor [B, sum(D)] (batch-sharded over the mesh)."""
         per_name: Dict[str, Array] = {}
@@ -124,7 +140,13 @@ class ShardedEmbeddingBagCollection:
             with jax.named_scope(
                 f"## ebc_fwd_{group.sharding_type.value}_g{gi} ##"
             ):
-                out = strat.forward(states[gi], self._group_batch(sb, gi))
+                d = dist[gi] if dist is not None else None
+                if d is not None:
+                    out = strat.forward_from_dist(states[gi], d)
+                else:
+                    out = strat.forward(
+                        states[gi], self._group_batch(sb, gi)
+                    )
             for j, ename in enumerate(group.embedding_names):
                 per_name[ename] = out[j]
         values = jnp.concatenate(
@@ -142,6 +164,7 @@ class ShardedEmbeddingBagCollection:
         sb: PaddedSparseBatch,
         d_values: Array,
         learning_rate,
+        dist: Optional[Tuple[Optional[PaddedSparseBatch], ...]] = None,
     ) -> Tuple[EmbeddingGroupState, ...]:
         """Apply fused optimizer step given the cotangent of the forward's
         KeyedTensor.values ([B, sum(D)], batch-sharded)."""
@@ -156,12 +179,20 @@ class ShardedEmbeddingBagCollection:
             with jax.named_scope(
                 f"## ebc_update_{group.sharding_type.value}_g{gi} ##"
             ):
-                new_states.append(
-                    strat.update(
-                        states[gi],
-                        self._group_batch(sb, gi),
-                        d_pooled,
-                        learning_rate,
+                d = dist[gi] if dist is not None else None
+                if d is not None:
+                    new_states.append(
+                        strat.update_from_dist(
+                            states[gi], d, d_pooled, learning_rate
+                        )
                     )
-                )
+                else:
+                    new_states.append(
+                        strat.update(
+                            states[gi],
+                            self._group_batch(sb, gi),
+                            d_pooled,
+                            learning_rate,
+                        )
+                    )
         return tuple(new_states)

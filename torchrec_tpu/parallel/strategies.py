@@ -400,6 +400,70 @@ class BaseEmbeddingShardingStrategy:
             optim=new.optim,
         )
 
+    # -- cross-batch input-dist prefetch ------------------------------------
+    #
+    # The id all_gather is the only collective of the step that depends
+    # on NOTHING but the batch, so batch i+1's gather can be fused into
+    # batch i's program with no data dependency — XLA then overlaps the
+    # collective with batch i's dense compute. This is the TPU analogue of
+    # the reference's pre-issued sparse input dist
+    # (ref: train_pipeline.py:422-536, TrainPipelineSparseDist stage 2).
+    # Strategies with supports_input_dist=True implement
+    # forward_from_dist / update_from_dist consuming the pre-gathered
+    # global-batch PaddedSparseBatch that input_dist() returns.
+
+    supports_input_dist: bool = False
+
+    def input_dist(self, sb: PaddedSparseBatch) -> PaddedSparseBatch:
+        """All_gather ids/lengths/per-sample-weights over the batch axis,
+        returning a REPLICATED global-batch PaddedSparseBatch (the
+        prefetchable, parameter-independent part of forward+update)."""
+        has_w = sb.weights is not None
+
+        def dist(ids, lengths, psw):
+            ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+            len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+            psw_g = (
+                lax.all_gather(psw, AXIS, axis=1, tiled=True)
+                if has_w
+                else psw
+            )
+            return ids_g, len_g, psw_g
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        ids_g, len_g, psw_g = jax.shard_map(
+            dist,
+            mesh=self.env.mesh,
+            in_specs=(P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=(P(), P(), P()),
+            # a full-axis tiled all_gather is replicated by construction;
+            # the static VMA check cannot prove that
+            check_vma=False,
+        )(sb.ids, sb.lengths, psw)
+        return PaddedSparseBatch(
+            ids=ids_g,
+            lengths=len_g,
+            keys=sb.keys,
+            weights=psw_g if has_w else None,
+        )
+
+    def forward_from_dist(
+        self, state: EmbeddingGroupState, sb_g: PaddedSparseBatch
+    ) -> Array:
+        """forward() consuming a pre-gathered batch from input_dist()."""
+        raise NotImplementedError
+
+    def update_from_dist(
+        self,
+        state: EmbeddingGroupState,
+        sb_g: PaddedSparseBatch,
+        d_pooled: Array,
+        learning_rate,
+    ) -> EmbeddingGroupState:
+        """update() consuming a pre-gathered batch from input_dist()."""
+        raise NotImplementedError
+
 
 def _token_mask(lengths: Array, L: int) -> Array:
     """[..., L] bool validity mask from [...]-shaped lengths."""
@@ -626,26 +690,49 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         owned = (owner == my) & _token_mask(lengths_g, L)
         return local, owned
 
+    supports_input_dist = True
+
+    def _fwd_gathered(self, w, ids_g, len_g, psw_g, L):
+        """Per-device forward body on pre-gathered global-batch inputs."""
+        my = lax.axis_index(AXIS)
+        local, owned = self._route(ids_g, len_g, my, L)
+        coeff = _pool_coeff(
+            len_g, L, self.meta.feature_pooling_mean, psw_g, w.dtype
+        )
+        coeff = coeff * owned.astype(w.dtype)
+        partial = pooled_lookup(w[0], local, coeff)
+        return lax.psum_scatter(
+            partial, AXIS, scatter_dimension=1, tiled=True
+        )
+
+    def _upd_gathered(self, w, opt, ids_g, len_g, psw_g, d_g, lr, L):
+        """Per-device update body on pre-gathered global-batch inputs
+        (d_g is the already-gathered [F, B, D] cotangent)."""
+        my = lax.axis_index(AXIS)
+        local, owned = self._route(ids_g, len_g, my, L)
+        coeff = _pool_coeff(
+            len_g, L, self.meta.feature_pooling_mean, psw_g, w.dtype
+        )
+        row_grads = d_g[:, :, None, :] * coeff[:, :, :, None]
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            local.reshape(-1), row_grads.reshape(-1, self.dim),
+            owned.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
+
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        mean_flags = self.meta.feature_pooling_mean
         has_w = sb.weights is not None
 
         def fwd(w, ids, lengths, psw):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             psw_g = (
                 lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
             )
-            local, owned = self._route(ids_g, len_g, my, L)
-            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
-            coeff = coeff * owned.astype(w.dtype)
-            partial = pooled_lookup(w[0], local, coeff)
-            return lax.psum_scatter(
-                partial, AXIS, scatter_dimension=1, tiled=True
-            )
+            return self._fwd_gathered(w, ids_g, len_g, psw_g, L)
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         return jax.shard_map(
@@ -656,33 +743,41 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             out_specs=P(None, AXIS),
         )(state.weights, sb.ids, sb.lengths, psw)
 
+    def forward_from_dist(self, state, sb_g):
+        F, B, L = sb_g.ids.shape
+        has_w = sb_g.weights is not None
+
+        def fwd(w, ids_g, len_g, psw_g):
+            return self._fwd_gathered(
+                w, ids_g, len_g, psw_g if has_w else None, L
+            )
+
+        psw = sb_g.weights if has_w else jnp.zeros((), sb_g.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(), P(), P()),
+            out_specs=P(None, AXIS),
+            # batch inputs are replicated (pre-gathered); mixing them with
+            # the device-varying shard trips the static VMA check
+            check_vma=False,
+        )(state.weights, sb_g.ids, sb_g.lengths, psw)
+
     def update(self, state, sb, d_pooled, learning_rate):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        D = self.dim
-        mean_flags = self.meta.feature_pooling_mean
         has_w = sb.weights is not None
-        rows_loc = self.rows_loc
 
         def upd(w, opt, ids, lengths, psw, d_out, lr):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             psw_g = (
                 lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
             )
             d_g = lax.all_gather(d_out, AXIS, axis=1, tiled=True)  # [F,B,D]
-            local, owned = self._route(ids_g, len_g, my, L)
-            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
-            row_grads = d_g[:, :, None, :] * coeff[:, :, :, None]
-            w_loc = w[0]
-            opt_loc = self._opt_local(opt)
-            new_w, new_opt = apply_fused_update(
-                w_loc, opt_loc,
-                local.reshape(-1), row_grads.reshape(-1, D),
-                owned.reshape(-1), lr, **self.optim_kwargs,
+            return self._upd_gathered(
+                w, opt, ids_g, len_g, psw_g, d_g, lr, L
             )
-            return new_w[None], self._opt_relocal(new_opt)
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         psw_spec = P(None, AXIS) if has_w else P()
@@ -698,6 +793,30 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             # the custom call
             check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+    def update_from_dist(self, state, sb_g, d_pooled, learning_rate):
+        F, B, L = sb_g.ids.shape
+        has_w = sb_g.weights is not None
+
+        def upd(w, opt, ids_g, len_g, psw_g, d_out, lr):
+            # the cotangent depends on the loss — its gather stays in-step
+            d_g = lax.all_gather(d_out, AXIS, axis=1, tiled=True)
+            return self._upd_gathered(
+                w, opt, ids_g, len_g, psw_g if has_w else None, d_g, lr, L
+            )
+
+        psw = sb_g.weights if has_w else jnp.zeros((), sb_g.ids.dtype)
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(), P(), P(),
+                      P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # pre-gathered replicated inputs + Pallas custom call (above)
+            check_vma=False,
+        )(state.weights, state.opt, sb_g.ids, sb_g.lengths, psw, d_pooled,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
 
@@ -813,30 +932,65 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         mean_m = jnp.asarray(self.meta.feature_pooling_mean)[feats]
         return ids_m, len_m, psw_m, mean_m
 
+    supports_input_dist = True
+
+    def _fwd_gathered(self, w, ids_g, len_g, psw_g, L):
+        """Per-device forward body on pre-gathered global-batch inputs."""
+        my = lax.axis_index(AXIS)
+        ids_m, len_m, psw_m, mean_m = self._mine(ids_g, len_g, psw_g, my)
+        coeff = _token_mask(len_m, L).astype(w.dtype)
+        if psw_m is not None:
+            coeff = coeff * psw_m.astype(w.dtype)
+        denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
+        coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
+        pooled = pooled_lookup(w[0], ids_m, coeff)  # [f_max, B, D]
+        slots = lax.all_to_all(
+            pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
+        )  # [n*f_max, B_loc, D]
+        return slots[jnp.asarray(self.out_pos)]  # [F, B_loc, D]
+
+    def _upd_gathered(self, w, opt, ids_g, len_g, psw_g, d_out, lr, L):
+        """Per-device update body on pre-gathered global-batch inputs
+        (d_out is the batch-sharded canonical [F, B_loc, D] cotangent —
+        its slot routing depends on the loss and stays in-step)."""
+        my = lax.axis_index(AXIS)
+        D = self.dim
+        # route cotangent back: batch-sharded canonical [F, B_loc, D]
+        # -> feature-slot layout -> a2a -> my features, global batch
+        slots = jnp.zeros(
+            (self.n * self.f_max, d_out.shape[1], D), d_out.dtype
+        )
+        slots = slots.at[jnp.asarray(self.out_pos)].set(d_out)
+        d_m = lax.all_to_all(
+            slots, AXIS, split_axis=0, concat_axis=1, tiled=True
+        )  # [f_max, B, D]
+        ids_m, len_m, psw_m, mean_m = self._mine(ids_g, len_g, psw_g, my)
+        coeff = _token_mask(len_m, L).astype(w.dtype)
+        if psw_m is not None:
+            coeff = coeff * psw_m.astype(w.dtype)
+        denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
+        coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
+        row_grads = d_m[:, :, None, :] * coeff[:, :, :, None]
+        valid = _token_mask(len_m, L)
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            ids_m.reshape(-1), row_grads.reshape(-1, D),
+            valid.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
+
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
         has_w = sb.weights is not None
-        f_max = self.f_max
 
         def fwd(w, ids, lengths, psw):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             psw_g = (
                 lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
             )
-            ids_m, len_m, psw_m, mean_m = self._mine(ids_g, len_g, psw_g, my)
-            coeff = _token_mask(len_m, L).astype(w.dtype)
-            if psw_m is not None:
-                coeff = coeff * psw_m.astype(w.dtype)
-            denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
-            coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
-            pooled = pooled_lookup(w[0], ids_m, coeff)  # [f_max, B, D]
-            slots = lax.all_to_all(
-                pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
-            )  # [n*f_max, B_loc, D]
-            return slots[jnp.asarray(self.out_pos)]  # [F, B_loc, D]
+            return self._fwd_gathered(w, ids_g, len_g, psw_g, L)
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         return jax.shard_map(
@@ -847,42 +1001,40 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             out_specs=P(None, AXIS),
         )(state.weights, sb.ids, sb.lengths, psw)
 
+    def forward_from_dist(self, state, sb_g):
+        F, B, L = sb_g.ids.shape
+        has_w = sb_g.weights is not None
+
+        def fwd(w, ids_g, len_g, psw_g):
+            return self._fwd_gathered(
+                w, ids_g, len_g, psw_g if has_w else None, L
+            )
+
+        psw = sb_g.weights if has_w else jnp.zeros((), sb_g.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(), P(), P()),
+            out_specs=P(None, AXIS),
+            # batch inputs are replicated (pre-gathered); mixing them with
+            # the device-varying shard trips the static VMA check
+            check_vma=False,
+        )(state.weights, sb_g.ids, sb_g.lengths, psw)
+
     def update(self, state, sb, d_pooled, learning_rate):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        D = self.dim
         has_w = sb.weights is not None
-        f_max = self.f_max
-        rows_max = self.rows_max
 
         def upd(w, opt, ids, lengths, psw, d_out, lr):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             psw_g = (
                 lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
             )
-            # route cotangent back: batch-sharded canonical [F, B_loc, D]
-            # -> feature-slot layout -> a2a -> my features, global batch
-            slots = jnp.zeros((self.n * f_max, d_out.shape[1], D), d_out.dtype)
-            slots = slots.at[jnp.asarray(self.out_pos)].set(d_out)
-            d_m = lax.all_to_all(
-                slots, AXIS, split_axis=0, concat_axis=1, tiled=True
-            )  # [f_max, B, D]
-            ids_m, len_m, psw_m, mean_m = self._mine(ids_g, len_g, psw_g, my)
-            coeff = _token_mask(len_m, L).astype(w.dtype)
-            if psw_m is not None:
-                coeff = coeff * psw_m.astype(w.dtype)
-            denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
-            coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
-            row_grads = d_m[:, :, None, :] * coeff[:, :, :, None]
-            valid = _token_mask(len_m, L)
-            new_w, new_opt = apply_fused_update(
-                w[0], self._opt_local(opt),
-                ids_m.reshape(-1), row_grads.reshape(-1, D),
-                valid.reshape(-1), lr, **self.optim_kwargs,
+            return self._upd_gathered(
+                w, opt, ids_g, len_g, psw_g, d_out, lr, L
             )
-            return new_w[None], self._opt_relocal(new_opt)
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         psw_spec = P(None, AXIS) if has_w else P()
@@ -898,6 +1050,28 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             # the custom call
             check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+    def update_from_dist(self, state, sb_g, d_pooled, learning_rate):
+        F, B, L = sb_g.ids.shape
+        has_w = sb_g.weights is not None
+
+        def upd(w, opt, ids_g, len_g, psw_g, d_out, lr):
+            return self._upd_gathered(
+                w, opt, ids_g, len_g, psw_g if has_w else None, d_out, lr, L
+            )
+
+        psw = sb_g.weights if has_w else jnp.zeros((), sb_g.ids.dtype)
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(), P(), P(),
+                      P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # pre-gathered replicated inputs + Pallas custom call (above)
+            check_vma=False,
+        )(state.weights, state.opt, sb_g.ids, sb_g.lengths, psw, d_pooled,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
 
@@ -967,10 +1141,42 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         )  # [n, total_rows]  (1-D input = the n == 1 plain-row case)
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
+    supports_input_dist = True
+
+    def _fwd_gathered(self, w, ids_g, len_g, psw_g, L):
+        """Per-device forward body on pre-gathered global-batch inputs."""
+        gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
+        coeff = _pool_coeff(
+            len_g, L, self.meta.feature_pooling_mean, psw_g, w.dtype
+        )
+        pooled = pooled_lookup(w[0], gids, coeff)  # [F,B,D/n]
+        return lax.all_to_all(
+            pooled, AXIS, split_axis=1, concat_axis=2, tiled=True
+        )  # [F, B_loc, D]
+
+    def _upd_gathered(self, w, opt, ids_g, len_g, psw_g, d_out, lr, L):
+        """Per-device update body on pre-gathered global-batch inputs
+        (d_out is the batch-sharded [F, B_loc, D] cotangent — its a2a
+        depends on the loss and stays in-step)."""
+        d_g = lax.all_to_all(
+            d_out, AXIS, split_axis=2, concat_axis=1, tiled=True
+        )  # [F, B, D/n]
+        gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
+        coeff = _pool_coeff(
+            len_g, L, self.meta.feature_pooling_mean, psw_g, w.dtype
+        )
+        row_grads = d_g[:, :, None, :] * coeff[:, :, :, None]
+        valid = _token_mask(len_g, L)
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            gids.reshape(-1), row_grads.reshape(-1, self.cols_loc),
+            valid.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
+
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        mean_flags = self.meta.feature_pooling_mean
         has_w = sb.weights is not None
 
         def fwd(w, ids, lengths, psw):
@@ -979,12 +1185,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             psw_g = (
                 lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
             )
-            gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
-            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
-            pooled = pooled_lookup(w[0], gids, coeff)  # [F,B,D/n]
-            return lax.all_to_all(
-                pooled, AXIS, split_axis=1, concat_axis=2, tiled=True
-            )  # [F, B_loc, D]
+            return self._fwd_gathered(w, ids_g, len_g, psw_g, L)
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         return jax.shard_map(
@@ -995,12 +1196,52 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             out_specs=P(None, AXIS),
         )(state.weights, sb.ids, sb.lengths, psw)
 
+    def forward_from_dist(self, state, sb_g):
+        F, B, L = sb_g.ids.shape
+        has_w = sb_g.weights is not None
+
+        def fwd(w, ids_g, len_g, psw_g):
+            return self._fwd_gathered(
+                w, ids_g, len_g, psw_g if has_w else None, L
+            )
+
+        psw = sb_g.weights if has_w else jnp.zeros((), sb_g.ids.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(), P(), P()),
+            out_specs=P(None, AXIS),
+            # batch inputs are replicated (pre-gathered); mixing them with
+            # the device-varying shard trips the static VMA check
+            check_vma=False,
+        )(state.weights, sb_g.ids, sb_g.lengths, psw)
+
+    def update_from_dist(self, state, sb_g, d_pooled, learning_rate):
+        F, B, L = sb_g.ids.shape
+        has_w = sb_g.weights is not None
+
+        def upd(w, opt, ids_g, len_g, psw_g, d_out, lr):
+            return self._upd_gathered(
+                w, opt, ids_g, len_g, psw_g if has_w else None, d_out, lr, L
+            )
+
+        psw = sb_g.weights if has_w else jnp.zeros((), sb_g.ids.dtype)
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(), P(), P(),
+                      P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # pre-gathered replicated inputs + Pallas custom call
+            check_vma=False,
+        )(state.weights, state.opt, sb_g.ids, sb_g.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
     def update(self, state, sb, d_pooled, learning_rate):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        mean_flags = self.meta.feature_pooling_mean
         has_w = sb.weights is not None
-        cols_loc = self.cols_loc
 
         def upd(w, opt, ids, lengths, psw, d_out, lr):
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
@@ -1008,19 +1249,9 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             psw_g = (
                 lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
             )
-            d_g = lax.all_to_all(
-                d_out, AXIS, split_axis=2, concat_axis=1, tiled=True
-            )  # [F, B, D/n]
-            gids = ids_g + jnp.asarray(self.feat_row_off)[:, None, None]
-            coeff = _pool_coeff(len_g, L, mean_flags, psw_g, w.dtype)
-            row_grads = d_g[:, :, None, :] * coeff[:, :, :, None]
-            valid = _token_mask(len_g, L)
-            new_w, new_opt = apply_fused_update(
-                w[0], self._opt_local(opt),
-                gids.reshape(-1), row_grads.reshape(-1, cols_loc),
-                valid.reshape(-1), lr, **self.optim_kwargs,
+            return self._upd_gathered(
+                w, opt, ids_g, len_g, psw_g, d_out, lr, L
             )
-            return new_w[None], self._opt_relocal(new_opt)
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         psw_spec = P(None, AXIS) if has_w else P()

@@ -75,6 +75,72 @@ class TrainPipeline:
         return loss, aux
 
 
+class SparseDistPipeline:
+    """3-stage pipeline: batch i+1's sparse input dist runs INSIDE batch
+    i's step program (ref: TrainPipelineSparseDist,
+    train_pipeline.py:422-536 — 3-stage overlap via pre-issued input
+    dists on a side stream; here the pre-gathered ids are an extra
+    output/input of ONE jitted step, so XLA overlaps the id all_gathers
+    with batch i's dense compute, no streams or FX rewrites).
+
+    Numerics are identical to TrainPipeline/make_train_step (the same
+    collectives run, one batch earlier). Modules that cannot prefetch
+    (feature processors, UVM, towers, ECs) transparently gather in-step.
+    On the final batch the step re-dists the last batch as a throwaway
+    placeholder to keep the compiled program static.
+    """
+
+    def __init__(
+        self,
+        dmp,
+        state: Any,
+        loss_fn: Optional[Callable] = None,
+        prefetch_depth: int = 3,
+        device_put: Optional[Callable] = None,
+    ):
+        self._dmp = dmp
+        self.state = state
+        self._step = dmp.make_prefetched_train_step(loss_fn=loss_fn)
+        self._prime = jax.jit(dmp.input_dist)
+        self._dists = None
+        # need batch i+1 resident to fuse its dist into step i
+        self._depth = max(2, prefetch_depth)
+        self._queue: collections.deque = collections.deque()
+        self._device_put = device_put or jax.device_put
+        self._pool = concurrent.futures.ThreadPoolExecutor(self._depth)
+
+    def _fill(self, it: Iterator) -> None:
+        while len(self._queue) < self._depth:
+            try:
+                batch = next(it)
+            except StopIteration:
+                return
+            self._queue.append(self._pool.submit(self._device_put, batch))
+
+    @staticmethod
+    def _as_args(batch) -> tuple:
+        return batch if isinstance(batch, tuple) else (batch,)
+
+    def progress(self, it: Iterator):
+        self._fill(it)
+        if not self._queue:
+            raise StopIteration
+        args = self._as_args(self._queue.popleft().result())
+        self._fill(it)
+        sb = self._dmp._find_sparse_arg(args)
+        if self._dists is None:
+            self._dists = self._prime(sb)  # prime the pipeline (batch 0)
+        next_sb = (
+            self._dmp._find_sparse_arg(self._as_args(self._queue[0].result()))
+            if self._queue
+            else sb
+        )
+        self.state, loss, aux, self._dists = self._step(
+            self.state, self._dists, next_sb, *args
+        )
+        return loss, aux
+
+
 class EvalPipeline:
     """Same prefetch structure for evaluation (no state update)."""
 
