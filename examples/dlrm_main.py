@@ -303,6 +303,19 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     vfreq = args.validation_freq_within_epoch
     results = {}
+    pipe = None
+    if not (args.synthetic or args.synthetic_criteo):
+        # ONE pipeline across epochs: its jitted step compiles once (a
+        # fresh pipeline per epoch would retrace + recompile the fused
+        # program every epoch); it carries the train state itself
+        if args.train_pipeline == "sparse_dist":
+            from torchrec_tpu.parallel.train_pipeline import (
+                SparseDistPipeline,
+            )
+
+            pipe = SparseDistPipeline(dmp, state)
+        else:
+            pipe = TrainPipeline(train_step, state)
     for epoch in range(args.epochs):
         n, t0 = 0, time.perf_counter()
         losses = []
@@ -317,16 +330,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     run_validation(state, f"epoch {epoch} it {n}")
             float(loss)  # hard sync before timing
         else:
-            if args.train_pipeline == "sparse_dist":
-                from torchrec_tpu.parallel.train_pipeline import (
-                    SparseDistPipeline,
-                )
-
-                pipe = SparseDistPipeline(dmp, state)
-                it = (batch_args(b) for b in make_loader("train"))
-            else:
-                pipe = TrainPipeline(train_step, state)
-                it = iter(make_loader("train"))
+            it = (
+                (batch_args(b) for b in make_loader("train"))
+                if args.train_pipeline == "sparse_dist"
+                else iter(make_loader("train"))
+            )
             while True:
                 try:
                     loss, _ = pipe.progress(it)

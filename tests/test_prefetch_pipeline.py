@@ -126,14 +126,15 @@ def test_forward_from_dist_matches_forward(env, stype, weighted):
 
 
 @pytest.mark.parametrize("stype", MP_TYPES, ids=lambda s: s.value)
-def test_update_from_dist_matches_update(env, stype):
+@pytest.mark.parametrize("weighted", [False, True], ids=["plain", "psw"])
+def test_update_from_dist_matches_update(env, stype, weighted):
     tables = _tables()
     ebc = ShardedEmbeddingBagCollection(
-        env, tables, _plan(tables, stype),
+        env, tables, _plan(tables, stype), is_weighted=weighted,
         optim=EmbOptimType.ROWWISE_ADAGRAD,
     )
     states = ebc.shard_from_dense(_dense_weights(tables))
-    sb = _batch(tables)
+    sb = _batch(tables, weighted=weighted)
     d_values = jnp.asarray(
         np.random.RandomState(7).randn(
             B, sum(t.embedding_dim * len(t.feature_names) for t in tables)
@@ -290,3 +291,49 @@ def test_sparse_dist_pipeline_matches_train_pipeline(env):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sparse_dist_pipeline_reusable_across_epochs(env):
+    """Epoch boundary: a reused pipeline must re-prime from the NEW
+    iterator's first batch, not consume the previous epoch's last-batch
+    dist (regression: the primed dist was never invalidated)."""
+    dmp = _make_dmp(env)
+    state0 = dmp.init(jax.random.PRNGKey(0), *_dmp_batch(0))
+    state_copy = dmp.init(jax.random.PRNGKey(0), *_dmp_batch(0))
+
+    epoch1 = [_dmp_batch(s) for s in range(3)]
+    epoch2 = [_dmp_batch(s) for s in range(10, 13)]
+
+    step_fn = dmp.make_train_step()
+    direct = TrainPipeline(lambda s, b: step_fn(s, *b), state0)
+    pipe = SparseDistPipeline(dmp, state_copy)
+
+    losses_a, losses_b = [], []
+    for epoch in (epoch1, epoch2):
+        it_a, it_b = iter(list(epoch)), iter(list(epoch))
+        while True:
+            try:
+                losses_a.append(float(direct.progress(it_a)[0]))
+            except StopIteration:
+                break
+        while True:
+            try:
+                losses_b.append(float(pipe.progress(it_b)[0]))
+            except StopIteration:
+                break
+    assert len(losses_a) == 6 == len(losses_b)
+    np.testing.assert_allclose(losses_a, losses_b, rtol=0, atol=0)
+
+
+def test_sequence_strategies_do_not_advertise_input_dist():
+    """The token-level sequence subclasses inherit the pooled
+    *_from_dist bodies from RW/TW — they must not advertise them."""
+    from torchrec_tpu.parallel.sequence_strategies import (
+        DpSequenceEmbeddingSharding,
+        RwSequenceEmbeddingSharding,
+        TwSequenceEmbeddingSharding,
+    )
+
+    assert not RwSequenceEmbeddingSharding.supports_input_dist
+    assert not TwSequenceEmbeddingSharding.supports_input_dist
+    assert not DpSequenceEmbeddingSharding.supports_input_dist

@@ -94,6 +94,10 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
     produced by its owning shard and summed to the batch owner via
     psum_scatter (zeros from non-owners)."""
 
+    # the inherited *_from_dist bodies are POOLED — don't advertise them
+    # for token-level outputs (prefetch consumers dispatch on this flag)
+    supports_input_dist = False
+
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
@@ -154,6 +158,10 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
     """ref: tw_sequence_sharding.py — table owner looks up the global
     batch's tokens; all_to_all returns rows to batch owners (the
     SequenceEmbeddingAllToAll equivalent, dist_data.py:841-932)."""
+
+    # the inherited *_from_dist bodies are POOLED — don't advertise them
+    # for token-level outputs (prefetch consumers dispatch on this flag)
+    supports_input_dist = False
 
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape

@@ -74,8 +74,18 @@ class TrainPipeline:
         self.state, loss, aux = self._train_step(self.state, batch)
         return loss, aux
 
+    def close(self) -> None:
+        """Shut the upload pool down (also safe to call twice)."""
+        self._pool.shutdown(wait=False)
 
-class SparseDistPipeline:
+    def __del__(self):  # noqa: D105 - best-effort resource cleanup
+        try:
+            self._pool.shutdown(wait=False)
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
+
+class SparseDistPipeline(TrainPipeline):
     """3-stage pipeline: batch i+1's sparse input dist runs INSIDE batch
     i's step program (ref: TrainPipelineSparseDist,
     train_pipeline.py:422-536 — 3-stage overlap via pre-issued input
@@ -87,7 +97,9 @@ class SparseDistPipeline:
     collectives run, one batch earlier). Modules that cannot prefetch
     (feature processors, UVM, towers, ECs) transparently gather in-step.
     On the final batch the step re-dists the last batch as a throwaway
-    placeholder to keep the compiled program static.
+    placeholder to keep the compiled program static; exhausting an
+    iterator resets the primed dist, so one pipeline can be reused
+    across epochs (fresh iterators) without consuming a stale dist.
     """
 
     def __init__(
@@ -98,24 +110,16 @@ class SparseDistPipeline:
         prefetch_depth: int = 3,
         device_put: Optional[Callable] = None,
     ):
+        # need batch i+1 resident to fuse its dist into step i
+        super().__init__(
+            dmp.make_prefetched_train_step(loss_fn=loss_fn),
+            state,
+            prefetch_depth=max(2, prefetch_depth),
+            device_put=device_put,
+        )
         self._dmp = dmp
-        self.state = state
-        self._step = dmp.make_prefetched_train_step(loss_fn=loss_fn)
         self._prime = jax.jit(dmp.input_dist)
         self._dists = None
-        # need batch i+1 resident to fuse its dist into step i
-        self._depth = max(2, prefetch_depth)
-        self._queue: collections.deque = collections.deque()
-        self._device_put = device_put or jax.device_put
-        self._pool = concurrent.futures.ThreadPoolExecutor(self._depth)
-
-    def _fill(self, it: Iterator) -> None:
-        while len(self._queue) < self._depth:
-            try:
-                batch = next(it)
-            except StopIteration:
-                return
-            self._queue.append(self._pool.submit(self._device_put, batch))
 
     @staticmethod
     def _as_args(batch) -> tuple:
@@ -124,6 +128,10 @@ class SparseDistPipeline:
     def progress(self, it: Iterator):
         self._fill(it)
         if not self._queue:
+            # epoch boundary: the primed dist belongs to the exhausted
+            # iterator's last batch — drop it so a future iterator
+            # re-primes from ITS first batch
+            self._dists = None
             raise StopIteration
         args = self._as_args(self._queue.popleft().result())
         self._fill(it)
@@ -135,7 +143,7 @@ class SparseDistPipeline:
             if self._queue
             else sb
         )
-        self.state, loss, aux, self._dists = self._step(
+        self.state, loss, aux, self._dists = self._train_step(
             self.state, self._dists, next_sb, *args
         )
         return loss, aux
