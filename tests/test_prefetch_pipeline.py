@@ -153,6 +153,67 @@ def test_update_from_dist_matches_update(env, stype, weighted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+# -- hierarchical strategies (TWRW/TWCW), both routing modes ----------------
+
+
+HIER_TYPES = [
+    ShardingType.TABLE_ROW_WISE,
+    ShardingType.TABLE_COLUMN_WISE,
+]
+
+
+@pytest.fixture(scope="module")
+def henv():
+    return ShardingEnv.from_devices(local_size=4)
+
+
+def _hplan(henv, stype, tables):
+    H = henv.num_hosts
+    return {
+        t.name: ParameterSharding(stype, host=i % H)
+        for i, t in enumerate(tables)
+    }
+
+
+@pytest.mark.parametrize("stype", HIER_TYPES, ids=lambda s: s.value)
+@pytest.mark.parametrize("routing", ["allgather", "a2a"])
+@pytest.mark.parametrize("weighted", [False, True], ids=["plain", "psw"])
+def test_hierarchical_from_dist_matches_direct(henv, stype, routing,
+                                               weighted):
+    tables = _tables()
+    ebc = ShardedEmbeddingBagCollection(
+        henv, tables, _hplan(henv, stype, tables), is_weighted=weighted,
+        optim=EmbOptimType.ROWWISE_ADAGRAD,
+        optim_kwargs={"input_routing": routing},
+    )
+    states = ebc.shard_from_dense(_dense_weights(tables))
+    sb = _batch(tables, weighted=weighted)
+    dist = jax.jit(ebc.input_dist)(sb)
+    assert all(d is not None for d in dist)
+
+    direct_f = jax.jit(ebc.forward)(states, sb)
+    pre_f = jax.jit(lambda st, s, di: ebc.forward(st, s, dist=di))(
+        states, sb, dist
+    )
+    np.testing.assert_array_equal(
+        np.asarray(direct_f.values), np.asarray(pre_f.values)
+    )
+
+    d_values = jnp.asarray(
+        np.random.RandomState(3).randn(
+            B, sum(t.embedding_dim * len(t.feature_names) for t in tables)
+        ).astype(np.float32)
+    )
+    direct_u = jax.jit(lambda st, s, d: ebc.update(st, s, d, LR))(
+        states, sb, d_values
+    )
+    pre_u = jax.jit(lambda st, s, d, di: ebc.update(st, s, d, LR, dist=di))(
+        states, sb, d_values, dist
+    )
+    for a, b in zip(jax.tree.leaves(direct_u), jax.tree.leaves(pre_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # -- DMP-level: prefetched step == direct step over a mixed plan ------------
 
 

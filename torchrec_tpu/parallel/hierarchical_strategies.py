@@ -265,6 +265,82 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         denom = jnp.maximum(len_m.astype(dtype), 1.0)[:, :, None]
         return jnp.where(mean_m[:, None, None], coeff / denom, coeff)
 
+    def _host_meta(self, h):
+        """Static per-host feature metadata (mean flags, shard rows,
+        local offsets) — recomputed in-step, never shipped."""
+        feats = jnp.asarray(self.host_feats)[h]
+        mean_m = jnp.asarray(self.meta.feature_pooling_mean)[feats]
+        sr = jnp.asarray(self.host_feat_sr)[h][:, None, None]
+        off = jnp.asarray(self.host_feat_off)[h][:, None, None]
+        return mean_m, sr, off
+
+    def _acquire_inputs(self, ids, lengths, psw, h, has_w):
+        """Input dist (either routing mode) -> my host's feature-slot
+        views over the staggered global batch. This is the batch-only,
+        parameter-independent stage — exactly what input_dist prefetches."""
+        if self.input_routing == "a2a":
+            return self._route_inputs(
+                ids, lengths, psw if has_w else None, h
+            )
+        ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
+        len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
+        psw_g = (
+            lax.all_gather(psw, AXIS, axis=1, tiled=True) if has_w else None
+        )
+        ids_s = self._stagger(ids_g, 1)
+        len_s = self._stagger(len_g, 1)
+        psw_s = None if psw_g is None else self._stagger(psw_g, 1)
+        return self._mine(ids_s, len_s, psw_s, h)
+
+    def _fwd_tail(self, w, l, ids_m, len_m, psw_m, mean_m, sr, off, L):
+        """Per-device forward after input acquisition."""
+        owner_l = ids_m // sr
+        local = ids_m % sr + off
+        owned = (owner_l == l) & _token_mask(len_m, L)
+        coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+        coeff = coeff * owned.astype(w.dtype)
+        partial = pooled_lookup(w[0], local, coeff)
+        # intra-host reduce-scatter (ICI), ref twrw_sharding.py:441-484
+        intra = lax.psum_scatter(
+            partial, AXIS, scatter_dimension=1, tiled=True,
+            axis_index_groups=self.intra_groups,
+        )  # [f_max, B/Lc, D]
+        # cross-host all_to_all routes feature blocks to batch owners
+        cross = lax.all_to_all(
+            intra, AXIS, split_axis=1, concat_axis=0, tiled=True,
+            axis_index_groups=self.cross_groups,
+        )  # [H*f_max, B/n, D]
+        return cross[jnp.asarray(self.out_pos)]
+
+    def _upd_tail(self, w, opt, l, d_out, ids_m, len_m, psw_m, mean_m,
+                  sr, off, lr, L):
+        """Per-device update after input acquisition (the cotangent
+        routing depends on the loss and always runs in-step)."""
+        D = self.dim
+        # route cotangent back: canonical -> slots -> cross -> intra
+        slots = jnp.zeros(
+            (self.H * self.f_max, d_out.shape[1], D), d_out.dtype
+        ).at[jnp.asarray(self.out_pos)].set(d_out)
+        d1 = lax.all_to_all(
+            slots, AXIS, split_axis=0, concat_axis=1, tiled=True,
+            axis_index_groups=self.cross_groups,
+        )  # [f_max, B/Lc, D]
+        d_full = lax.all_gather(
+            d1, AXIS, axis=1, tiled=True,
+            axis_index_groups=self.intra_groups,
+        )  # [f_max, B, D] staggered order (matches ids_s)
+        owner_l = ids_m // sr
+        local = ids_m % sr + off
+        owned = (owner_l == l) & _token_mask(len_m, L)
+        coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+        row_grads = d_full[:, :, None, :] * coeff[:, :, :, None]
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            local.reshape(-1), row_grads.reshape(-1, D),
+            owned.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
+
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         has_w = sb.weights is not None
@@ -273,40 +349,12 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         def fwd(w, ids, lengths, psw):
             my = lax.axis_index(AXIS)
             h, l = my // Lc, my % Lc
-            if self.input_routing == "a2a":
-                ids_m, len_m, psw_m, mean_m, sr, off = self._route_inputs(
-                    ids, lengths, psw if has_w else None, h
-                )
-            else:
-                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-                psw_g = (
-                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                    if has_w else None
-                )
-                ids_s = self._stagger(ids_g, 1)
-                len_s = self._stagger(len_g, 1)
-                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
-                ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
-                    ids_s, len_s, psw_s, h
-                )
-            owner_l = ids_m // sr
-            local = ids_m % sr + off
-            owned = (owner_l == l) & _token_mask(len_m, L)
-            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
-            coeff = coeff * owned.astype(w.dtype)
-            partial = pooled_lookup(w[0], local, coeff)
-            # intra-host reduce-scatter (ICI), ref twrw_sharding.py:441-484
-            intra = lax.psum_scatter(
-                partial, AXIS, scatter_dimension=1, tiled=True,
-                axis_index_groups=self.intra_groups,
-            )  # [f_max, B/Lc, D]
-            # cross-host all_to_all routes feature blocks to batch owners
-            cross = lax.all_to_all(
-                intra, AXIS, split_axis=1, concat_axis=0, tiled=True,
-                axis_index_groups=self.cross_groups,
-            )  # [H*f_max, B/n, D]
-            return cross[jnp.asarray(self.out_pos)]
+            ids_m, len_m, psw_m, mean_m, sr, off = self._acquire_inputs(
+                ids, lengths, psw, h, has_w
+            )
+            return self._fwd_tail(
+                w, l, ids_m, len_m, psw_m, mean_m, sr, off, L
+            )
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         return jax.shard_map(
@@ -321,52 +369,17 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         F, B_loc, L = sb.ids.shape
         has_w = sb.weights is not None
         Lc = self.Lc
-        D = self.dim
-        f_max = self.f_max
 
         def upd(w, opt, ids, lengths, psw, d_out, lr):
             my = lax.axis_index(AXIS)
             h, l = my // Lc, my % Lc
-            if self.input_routing == "a2a":
-                ids_m, len_m, psw_m, mean_m, sr, off = self._route_inputs(
-                    ids, lengths, psw if has_w else None, h
-                )
-            else:
-                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-                psw_g = (
-                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                    if has_w else None
-                )
-                ids_s = self._stagger(ids_g, 1)
-                len_s = self._stagger(len_g, 1)
-                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
-                ids_m, len_m, psw_m, mean_m, sr, off = self._mine(
-                    ids_s, len_s, psw_s, h
-                )
-            # route cotangent back: canonical -> slots -> cross -> intra
-            slots = jnp.zeros(
-                (self.H * f_max, d_out.shape[1], D), d_out.dtype
-            ).at[jnp.asarray(self.out_pos)].set(d_out)
-            d1 = lax.all_to_all(
-                slots, AXIS, split_axis=0, concat_axis=1, tiled=True,
-                axis_index_groups=self.cross_groups,
-            )  # [f_max, B/Lc, D]
-            d_full = lax.all_gather(
-                d1, AXIS, axis=1, tiled=True,
-                axis_index_groups=self.intra_groups,
-            )  # [f_max, B, D] staggered order (matches ids_s)
-            owner_l = ids_m // sr
-            local = ids_m % sr + off
-            owned = (owner_l == l) & _token_mask(len_m, L)
-            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
-            row_grads = d_full[:, :, None, :] * coeff[:, :, :, None]
-            new_w, new_opt = apply_fused_update(
-                w[0], self._opt_local(opt),
-                local.reshape(-1), row_grads.reshape(-1, D),
-                owned.reshape(-1), lr, **self.optim_kwargs,
+            ids_m, len_m, psw_m, mean_m, sr, off = self._acquire_inputs(
+                ids, lengths, psw, h, has_w
             )
-            return new_w[None], self._opt_relocal(new_opt)
+            return self._upd_tail(
+                w, opt, l, d_out, ids_m, len_m, psw_m, mean_m, sr, off,
+                lr, L,
+            )
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         psw_spec = P(None, AXIS) if has_w else P()
@@ -382,6 +395,103 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             # the custom call
             check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, psw, d_pooled,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+
+    # -- cross-batch input-dist prefetch ------------------------------------
+    #
+    # For hierarchical strategies the prefetch matters MOST: in a2a
+    # routing mode the input dist's cross-host leg rides DCN (long
+    # latency); pre-computing it inside the previous step hides that
+    # latency behind a full batch of dense compute.
+
+    supports_input_dist = True
+
+    def input_dist(self, sb):
+        """Pre-computed host-feature input views, device-major: a tuple
+        (ids_r [n, f_max, B, L], len_r [n, f_max, B], psw_r or None),
+        each sharded on the leading device axis. Covers BOTH routing
+        modes (all_gather+stagger or routed a2a)."""
+        has_w = sb.weights is not None
+        Lc = self.Lc
+
+        def dist(ids, lengths, psw):
+            my = lax.axis_index(AXIS)
+            h = my // Lc
+            ids_m, len_m, psw_m, _, _, _ = self._acquire_inputs(
+                ids, lengths, psw, h, has_w
+            )
+            psw_out = psw_m[None] if has_w else psw
+            return ids_m[None], len_m[None], psw_out
+
+        psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
+        ids_r, len_r, psw_r = jax.shard_map(
+            dist,
+            mesh=self.env.mesh,
+            in_specs=(P(None, AXIS), P(None, AXIS),
+                      P(None, AXIS) if has_w else P()),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS) if has_w else P()),
+            # per-device views stacked on a leading device axis; the
+            # static VMA check cannot type the mixed varying/replicated
+            # outputs
+            check_vma=False,
+        )(sb.ids, sb.lengths, psw)
+        return (ids_r, len_r, psw_r if has_w else None)
+
+    def forward_from_dist(self, state, dist):
+        ids_r, len_r, psw_r = dist
+        L = ids_r.shape[3]
+        has_w = psw_r is not None
+        Lc = self.Lc
+
+        def fwd(w, ids_rl, len_rl, psw_rl):
+            my = lax.axis_index(AXIS)
+            h, l = my // Lc, my % Lc
+            mean_m, sr, off = self._host_meta(h)
+            psw_m = psw_rl[0] if has_w else None
+            return self._fwd_tail(
+                w, l, ids_rl[0], len_rl[0], psw_m, mean_m, sr, off, L
+            )
+
+        psw = psw_r if has_w else jnp.zeros((), ids_r.dtype)
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS) if has_w else P()),
+            out_specs=P(None, AXIS),
+            # pre-distributed per-device views + collectives inside
+            check_vma=False,
+        )(state.weights, ids_r, len_r, psw)
+
+    def update_from_dist(self, state, dist, d_pooled, learning_rate):
+        ids_r, len_r, psw_r = dist
+        L = ids_r.shape[3]
+        has_w = psw_r is not None
+        Lc = self.Lc
+
+        def upd(w, opt, ids_rl, len_rl, psw_rl, d_out, lr):
+            my = lax.axis_index(AXIS)
+            h, l = my // Lc, my % Lc
+            mean_m, sr, off = self._host_meta(h)
+            psw_m = psw_rl[0] if has_w else None
+            return self._upd_tail(
+                w, opt, l, d_out, ids_rl[0], len_rl[0], psw_m, mean_m,
+                sr, off, lr, L,
+            )
+
+        psw = psw_r if has_w else jnp.zeros((), ids_r.dtype)
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(AXIS),
+                      P(AXIS), P(AXIS) if has_w else P(), P(None, AXIS),
+                      P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # pre-distributed per-device views + Pallas custom call
+            check_vma=False,
+        )(state.weights, state.opt, ids_r, len_r, psw, d_pooled,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
 
@@ -485,6 +595,47 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                     arr[h * self.Lc + l, off : off + t.rows] = v[l]
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
+    def _fwd_tail(self, w, l, ids_m, len_m, psw_m, mean_m, sr, off, L):
+        """Per-device forward after input acquisition (l/sr unused:
+        columns are split locally, every device holds all rows)."""
+        coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+        local = ids_m + off
+        pooled = pooled_lookup(w[0], local, coeff)  # [f,B,D/Lc]
+        # intra-host: swap batch-sharding for column-concat (ICI)
+        intra = lax.all_to_all(
+            pooled, AXIS, split_axis=1, concat_axis=2, tiled=True,
+            axis_index_groups=self.intra_groups,
+        )  # [f_max, B/Lc, D]
+        cross = lax.all_to_all(
+            intra, AXIS, split_axis=1, concat_axis=0, tiled=True,
+            axis_index_groups=self.cross_groups,
+        )  # [H*f_max, B/n, D]
+        return cross[jnp.asarray(self.out_pos)]
+
+    def _upd_tail(self, w, opt, l, d_out, ids_m, len_m, psw_m, mean_m,
+                  sr, off, lr, L):
+        slots = jnp.zeros(
+            (self.H * self.f_max, d_out.shape[1], self.dim), d_out.dtype
+        ).at[jnp.asarray(self.out_pos)].set(d_out)
+        d1 = lax.all_to_all(
+            slots, AXIS, split_axis=0, concat_axis=1, tiled=True,
+            axis_index_groups=self.cross_groups,
+        )  # [f_max, B/Lc, D]
+        d2 = lax.all_to_all(
+            d1, AXIS, split_axis=2, concat_axis=1, tiled=True,
+            axis_index_groups=self.intra_groups,
+        )  # [f_max, B, D/Lc] staggered
+        coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
+        row_grads = d2[:, :, None, :] * coeff[:, :, :, None]
+        valid = _token_mask(len_m, L)
+        local = ids_m + off
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            local.reshape(-1), row_grads.reshape(-1, self.cols_loc),
+            valid.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
+
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         has_w = sb.weights is not None
@@ -492,37 +643,13 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
 
         def fwd(w, ids, lengths, psw):
             my = lax.axis_index(AXIS)
-            h = my // Lc
-            if self.input_routing == "a2a":
-                ids_m, len_m, psw_m, mean_m, _, off = self._route_inputs(
-                    ids, lengths, psw if has_w else None, h
-                )
-            else:
-                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-                psw_g = (
-                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                    if has_w else None
-                )
-                ids_s = self._stagger(ids_g, 1)
-                len_s = self._stagger(len_g, 1)
-                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
-                ids_m, len_m, psw_m, mean_m, _, off = self._mine(
-                    ids_s, len_s, psw_s, h
-                )
-            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
-            local = ids_m + off
-            pooled = pooled_lookup(w[0], local, coeff)  # [f,B,D/Lc]
-            # intra-host: swap batch-sharding for column-concat (ICI)
-            intra = lax.all_to_all(
-                pooled, AXIS, split_axis=1, concat_axis=2, tiled=True,
-                axis_index_groups=self.intra_groups,
-            )  # [f_max, B/Lc, D]
-            cross = lax.all_to_all(
-                intra, AXIS, split_axis=1, concat_axis=0, tiled=True,
-                axis_index_groups=self.cross_groups,
-            )  # [H*f_max, B/n, D]
-            return cross[jnp.asarray(self.out_pos)]
+            h, l = my // Lc, my % Lc
+            ids_m, len_m, psw_m, mean_m, sr, off = self._acquire_inputs(
+                ids, lengths, psw, h, has_w
+            )
+            return self._fwd_tail(
+                w, l, ids_m, len_m, psw_m, mean_m, sr, off, L
+            )
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         return jax.shard_map(
@@ -537,50 +664,17 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
         F, B_loc, L = sb.ids.shape
         has_w = sb.weights is not None
         Lc = self.Lc
-        f_max = self.f_max
-        cols_loc = self.cols_loc
 
         def upd(w, opt, ids, lengths, psw, d_out, lr):
             my = lax.axis_index(AXIS)
-            h = my // Lc
-            if self.input_routing == "a2a":
-                ids_m, len_m, psw_m, mean_m, _, off = self._route_inputs(
-                    ids, lengths, psw if has_w else None, h
-                )
-            else:
-                ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-                len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-                psw_g = (
-                    lax.all_gather(psw, AXIS, axis=1, tiled=True)
-                    if has_w else None
-                )
-                ids_s = self._stagger(ids_g, 1)
-                len_s = self._stagger(len_g, 1)
-                psw_s = None if psw_g is None else self._stagger(psw_g, 1)
-                ids_m, len_m, psw_m, mean_m, _, off = self._mine(
-                    ids_s, len_s, psw_s, h
-                )
-            slots = jnp.zeros(
-                (self.H * f_max, d_out.shape[1], self.dim), d_out.dtype
-            ).at[jnp.asarray(self.out_pos)].set(d_out)
-            d1 = lax.all_to_all(
-                slots, AXIS, split_axis=0, concat_axis=1, tiled=True,
-                axis_index_groups=self.cross_groups,
-            )  # [f_max, B/Lc, D]
-            d2 = lax.all_to_all(
-                d1, AXIS, split_axis=2, concat_axis=1, tiled=True,
-                axis_index_groups=self.intra_groups,
-            )  # [f_max, B, D/Lc] staggered
-            coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
-            row_grads = d2[:, :, None, :] * coeff[:, :, :, None]
-            valid = _token_mask(len_m, L)
-            local = ids_m + off
-            new_w, new_opt = apply_fused_update(
-                w[0], self._opt_local(opt),
-                local.reshape(-1), row_grads.reshape(-1, cols_loc),
-                valid.reshape(-1), lr, **self.optim_kwargs,
+            h, l = my // Lc, my % Lc
+            ids_m, len_m, psw_m, mean_m, sr, off = self._acquire_inputs(
+                ids, lengths, psw, h, has_w
             )
-            return new_w[None], self._opt_relocal(new_opt)
+            return self._upd_tail(
+                w, opt, l, d_out, ids_m, len_m, psw_m, mean_m, sr, off,
+                lr, L,
+            )
 
         psw = sb.weights if has_w else jnp.zeros((), sb.ids.dtype)
         psw_spec = P(None, AXIS) if has_w else P()

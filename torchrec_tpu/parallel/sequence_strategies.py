@@ -244,6 +244,10 @@ class TwRwSequenceEmbeddingSharding:
         )
 
         class _Impl(TwRwEmbeddingSharding):
+            # token-level outputs: don't advertise the inherited POOLED
+            # *_from_dist bodies to prefetch consumers
+            supports_input_dist = False
+
             def forward(self, state, sb):
                 F, B_loc, L = sb.ids.shape
                 Lc = self.Lc
