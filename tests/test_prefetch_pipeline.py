@@ -386,15 +386,85 @@ def test_sparse_dist_pipeline_reusable_across_epochs(env):
     np.testing.assert_allclose(losses_a, losses_b, rtol=0, atol=0)
 
 
-def test_sequence_strategies_do_not_advertise_input_dist():
-    """The token-level sequence subclasses inherit the pooled
-    *_from_dist bodies from RW/TW — they must not advertise them."""
+@pytest.mark.parametrize(
+    "stype",
+    [ShardingType.ROW_WISE, ShardingType.TABLE_WISE],
+    ids=lambda s: s.value,
+)
+def test_sequence_ec_from_dist_matches_direct(env, stype):
+    """Token-level from_dist parity on the sharded EmbeddingCollection."""
+    from torchrec_tpu.modules import EmbeddingConfig
+    from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
+
+    SL = 4
+    tables = (
+        EmbeddingConfig(num_embeddings=50, embedding_dim=D, name="items",
+                        feature_names=["item"]),
+        EmbeddingConfig(num_embeddings=30, embedding_dim=D, name="cats",
+                        feature_names=["cat"]),
+    )
+    if stype is ShardingType.TABLE_WISE:
+        plan = {"items": ParameterSharding(stype, ranks=[1]),
+                "cats": ParameterSharding(stype, ranks=[6])}
+    else:
+        plan = {t.name: ParameterSharding(stype) for t in tables}
+    ec = ShardedEmbeddingCollection(
+        env, tables, plan, optim=EmbOptimType.ROWWISE_ADAGRAD
+    )
+    rng = np.random.RandomState(5)
+    states = ec.shard_from_dense({
+        t.name: rng.randn(t.num_embeddings, t.embedding_dim).astype(
+            np.float32
+        )
+        for t in tables
+    })
+    feats = [f for t in tables for f in t.feature_names]
+    rows = {f: t.num_embeddings for t in tables for f in t.feature_names}
+    lengths = rng.randint(0, SL + 1, size=(len(feats) * B,)).astype(np.int32)
+    vals = np.concatenate(
+        [rng.randint(0, rows[feats[i // B]], size=(lengths[i],))
+         for i in range(len(lengths))] + [np.zeros((0,))]
+    ).astype(np.int32)
+    sb = KeyedJaggedTensor.from_lengths(
+        feats, jnp.asarray(vals), jnp.asarray(lengths)
+    ).to_padded(SL)
+
+    dist = jax.jit(ec.input_dist)(sb)
+    assert all(d is not None for d in dist)
+    direct_f = jax.jit(ec.forward_stacked)(states, sb)
+    pre_f = jax.jit(lambda st, s, di: ec.forward_stacked(st, s, dist=di))(
+        states, sb, dist
+    )
+    np.testing.assert_array_equal(np.asarray(direct_f), np.asarray(pre_f))
+
+    d_tokens = jnp.asarray(
+        rng.randn(len(feats), B, SL, D).astype(np.float32)
+    )
+    direct_u = jax.jit(
+        lambda st, s, d: ec.update_stacked(st, s, d, LR)
+    )(states, sb, d_tokens)
+    pre_u = jax.jit(
+        lambda st, s, d, di: ec.update_stacked(st, s, d, LR, dist=di)
+    )(states, sb, d_tokens, dist)
+    for a, b in zip(jax.tree.leaves(direct_u), jax.tree.leaves(pre_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sequence_strategy_input_dist_flags():
+    """Sequence strategies may only advertise input_dist support when
+    they define their OWN token-level *_from_dist bodies (the pooled
+    ones inherited from RW/TW would be silently wrong)."""
     from torchrec_tpu.parallel.sequence_strategies import (
         DpSequenceEmbeddingSharding,
         RwSequenceEmbeddingSharding,
         TwSequenceEmbeddingSharding,
     )
 
-    assert not RwSequenceEmbeddingSharding.supports_input_dist
-    assert not TwSequenceEmbeddingSharding.supports_input_dist
+    for cls in (RwSequenceEmbeddingSharding, TwSequenceEmbeddingSharding):
+        assert cls.supports_input_dist
+        assert "forward_from_dist" in cls.__dict__, (
+            f"{cls.__name__} advertises input_dist but inherits the "
+            "POOLED forward_from_dist"
+        )
+        assert "update_from_dist" in cls.__dict__
     assert not DpSequenceEmbeddingSharding.supports_input_dist

@@ -714,7 +714,7 @@ class DistributedModelParallel:
     def _forward_values(self, state: DMPState, key: str, sb, dist=None):
         ebc = self.sharded_ebcs[key]
         if self._kinds[key] == "ec":
-            return ebc.forward_stacked(state.emb_states[key], sb)
+            return ebc.forward_stacked(state.emb_states[key], sb, dist=dist)
         if self._kinds[key] == "tower":
             return ebc.forward(state.emb_states[key], sb)  # [B, sum d_out]
         return ebc.forward(state.emb_states[key], sb, dist=dist).values
@@ -728,7 +728,7 @@ class DistributedModelParallel:
             else self.learning_rate
         )
         if self._kinds[key] == "ec":
-            return ebc.update_stacked(state_emb, sb, d_values, lr)
+            return ebc.update_stacked(state_emb, sb, d_values, lr, dist=dist)
         if self._kinds[key] == "tower":
             return ebc.update(state_emb, sb, d_values, lr)
         return ebc.update(state_emb, sb, d_values, lr, dist=dist)
@@ -975,13 +975,14 @@ class DistributedModelParallel:
 
     def _dist_keys(self) -> Tuple[str, ...]:
         """Module keys whose sparse input dist is prefetchable: plain
-        sharded EBCs without feature processors (their per-sample weights
-        are computed in-step from live dense params) or UVM staging."""
+        sharded EBCs/ECs without feature processors (their per-sample
+        weights are computed in-step from live dense params) or UVM
+        staging."""
         return tuple(
             k
             for k, ebc in self.sharded_ebcs.items()
             if ebc is not None
-            and self._kinds[k] == "ebc"
+            and self._kinds[k] in ("ebc", "ec")
             and k not in self._fps
             and k not in self._uvm_split
         )

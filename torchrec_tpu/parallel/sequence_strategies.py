@@ -94,26 +94,42 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
     produced by its owning shard and summed to the batch owner via
     psum_scatter (zeros from non-owners)."""
 
-    # the inherited *_from_dist bodies are POOLED — don't advertise them
-    # for token-level outputs (prefetch consumers dispatch on this flag)
-    supports_input_dist = False
+    # token-level *_from_dist bodies below REPLACE the inherited pooled
+    # ones (the base input_dist — all_gather of ids/lengths — is shared)
+    supports_input_dist = True
+
+    def _fwd_tokens(self, w, ids_g, len_g, L):
+        """Per-device token forward on pre-gathered global inputs."""
+        my = lax.axis_index(AXIS)
+        local, owned = self._route(ids_g, len_g, my, L)
+        rows = lookup_rows(w[0], local.reshape(-1)).reshape(
+            *local.shape, w.shape[-1]
+        )
+        rows = rows * owned.astype(w.dtype)[..., None]
+        return lax.psum_scatter(
+            rows, AXIS, scatter_dimension=1, tiled=True
+        )  # [F, B_loc, L, D]
+
+    def _upd_tokens(self, w, opt, ids_g, len_g, d_g, lr, L):
+        """Per-device token update on pre-gathered global inputs (d_g is
+        the already-gathered [F, B, L, D] cotangent)."""
+        my = lax.axis_index(AXIS)
+        local, owned = self._route(ids_g, len_g, my, L)
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            local.reshape(-1), d_g.reshape(-1, self.dim),
+            owned.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
 
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
 
         def fwd(w, ids, lengths):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            local, owned = self._route(ids_g, len_g, my, L)
-            rows = lookup_rows(w[0], local.reshape(-1)).reshape(
-                *local.shape, w.shape[-1]
-            )
-            rows = rows * owned.astype(w.dtype)[..., None]
-            return lax.psum_scatter(
-                rows, AXIS, scatter_dimension=1, tiled=True
-            )  # [F, B_loc, L, D]
+            return self._fwd_tokens(w, ids_g, len_g, L)
 
         return jax.shard_map(
             fwd,
@@ -122,23 +138,30 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
             out_specs=P(None, AXIS),
         )(state.weights, sb.ids, sb.lengths)
 
+    def forward_from_dist(self, state, sb_g):
+        F, B, L = sb_g.ids.shape
+
+        def fwd(w, ids_g, len_g):
+            return self._fwd_tokens(w, ids_g, len_g, L)
+
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(), P()),
+            out_specs=P(None, AXIS),
+            # pre-gathered replicated batch + device-varying shard
+            check_vma=False,
+        )(state.weights, sb_g.ids, sb_g.lengths)
+
     def update(self, state, sb, d_tokens, learning_rate):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        D = self.dim
 
         def upd(w, opt, ids, lengths, d_out, lr):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
             d_g = lax.all_gather(d_out, AXIS, axis=1, tiled=True)
-            local, owned = self._route(ids_g, len_g, my, L)
-            new_w, new_opt = apply_fused_update(
-                w[0], self._opt_local(opt),
-                local.reshape(-1), d_g.reshape(-1, D),
-                owned.reshape(-1), lr, **self.optim_kwargs,
-            )
-            return new_w[None], self._opt_relocal(new_opt)
+            return self._upd_tokens(w, opt, ids_g, len_g, d_g, lr, L)
 
         new_w, new_opt = jax.shard_map(
             upd,
@@ -153,35 +176,78 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
 
+    def update_from_dist(self, state, sb_g, d_tokens, learning_rate):
+        F, B, L = sb_g.ids.shape
+
+        def upd(w, opt, ids_g, len_g, d_out, lr):
+            # the cotangent depends on the loss — its gather stays in-step
+            d_g = lax.all_gather(d_out, AXIS, axis=1, tiled=True)
+            return self._upd_tokens(w, opt, ids_g, len_g, d_g, lr, L)
+
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(), P(),
+                      P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # pre-gathered replicated batch + Pallas custom call (above)
+            check_vma=False,
+        )(state.weights, state.opt, sb_g.ids, sb_g.lengths, d_tokens,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
 
 class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
     """ref: tw_sequence_sharding.py — table owner looks up the global
     batch's tokens; all_to_all returns rows to batch owners (the
     SequenceEmbeddingAllToAll equivalent, dist_data.py:841-932)."""
 
-    # the inherited *_from_dist bodies are POOLED — don't advertise them
-    # for token-level outputs (prefetch consumers dispatch on this flag)
-    supports_input_dist = False
+    # token-level *_from_dist bodies below REPLACE the inherited pooled
+    # ones (the base input_dist — all_gather of ids/lengths — is shared)
+    supports_input_dist = True
+
+    def _fwd_tokens(self, w, ids_g, len_g, L):
+        my = lax.axis_index(AXIS)
+        ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
+        rows = lookup_rows(w[0], ids_m.reshape(-1)).reshape(
+            *ids_m.shape, w.shape[-1]
+        )
+        mask = _token_mask(len_m, L).astype(w.dtype)
+        rows = rows * mask[..., None]  # [f_max, B, L, D]
+        slots = lax.all_to_all(
+            rows, AXIS, split_axis=1, concat_axis=0, tiled=True
+        )  # [n*f_max, B_loc, L, D]
+        return slots[jnp.asarray(self.out_pos)]
+
+    def _upd_tokens(self, w, opt, ids_g, len_g, d_out, lr, L):
+        """d_out is the batch-sharded [F, B_loc, L, D] cotangent — its
+        slot routing depends on the loss and stays in-step."""
+        my = lax.axis_index(AXIS)
+        D = self.dim
+        slots = jnp.zeros(
+            (self.n * self.f_max, d_out.shape[1], L, D), d_out.dtype
+        )
+        slots = slots.at[jnp.asarray(self.out_pos)].set(d_out)
+        d_m = lax.all_to_all(
+            slots, AXIS, split_axis=0, concat_axis=1, tiled=True
+        )  # [f_max, B, L, D]
+        ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
+        valid = _token_mask(len_m, L)
+        new_w, new_opt = apply_fused_update(
+            w[0], self._opt_local(opt),
+            ids_m.reshape(-1), d_m.reshape(-1, D),
+            valid.reshape(-1), lr, **self.optim_kwargs,
+        )
+        return new_w[None], self._opt_relocal(new_opt)
 
     def forward(self, state, sb):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        f_max = self.f_max
 
         def fwd(w, ids, lengths):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
-            rows = lookup_rows(w[0], ids_m.reshape(-1)).reshape(
-                *ids_m.shape, w.shape[-1]
-            )
-            mask = _token_mask(len_m, L).astype(w.dtype)
-            rows = rows * mask[..., None]  # [f_max, B, L, D]
-            slots = lax.all_to_all(
-                rows, AXIS, split_axis=1, concat_axis=0, tiled=True
-            )  # [n*f_max, B_loc, L, D]
-            return slots[jnp.asarray(self.out_pos)]
+            return self._fwd_tokens(w, ids_g, len_g, L)
 
         return jax.shard_map(
             fwd,
@@ -190,31 +256,29 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
             out_specs=P(None, AXIS),
         )(state.weights, sb.ids, sb.lengths)
 
+    def forward_from_dist(self, state, sb_g):
+        F, B, L = sb_g.ids.shape
+
+        def fwd(w, ids_g, len_g):
+            return self._fwd_tokens(w, ids_g, len_g, L)
+
+        return jax.shard_map(
+            fwd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), P(), P()),
+            out_specs=P(None, AXIS),
+            # pre-gathered replicated batch + device-varying shard
+            check_vma=False,
+        )(state.weights, sb_g.ids, sb_g.lengths)
+
     def update(self, state, sb, d_tokens, learning_rate):
         F, B_loc, L = sb.ids.shape
         mesh = self.env.mesh
-        D = self.dim
-        f_max = self.f_max
 
         def upd(w, opt, ids, lengths, d_out, lr):
-            my = lax.axis_index(AXIS)
             ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
             len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-            slots = jnp.zeros(
-                (self.n * f_max, d_out.shape[1], L, D), d_out.dtype
-            )
-            slots = slots.at[jnp.asarray(self.out_pos)].set(d_out)
-            d_m = lax.all_to_all(
-                slots, AXIS, split_axis=0, concat_axis=1, tiled=True
-            )  # [f_max, B, L, D]
-            ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
-            valid = _token_mask(len_m, L)
-            new_w, new_opt = apply_fused_update(
-                w[0], self._opt_local(opt),
-                ids_m.reshape(-1), d_m.reshape(-1, D),
-                valid.reshape(-1), lr, **self.optim_kwargs,
-            )
-            return new_w[None], self._opt_relocal(new_opt)
+            return self._upd_tokens(w, opt, ids_g, len_g, d_out, lr, L)
 
         new_w, new_opt = jax.shard_map(
             upd,
@@ -226,6 +290,24 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
             # (size-adaptive); the VMA check cannot see through it
             check_vma=False,
         )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
+          jnp.asarray(learning_rate, jnp.float32))
+        return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+    def update_from_dist(self, state, sb_g, d_tokens, learning_rate):
+        F, B, L = sb_g.ids.shape
+
+        def upd(w, opt, ids_g, len_g, d_out, lr):
+            return self._upd_tokens(w, opt, ids_g, len_g, d_out, lr, L)
+
+        new_w, new_opt = jax.shard_map(
+            upd,
+            mesh=self.env.mesh,
+            in_specs=(P(AXIS), self._opt_specs(sharded=True), P(), P(),
+                      P(None, AXIS), P()),
+            out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+            # pre-gathered replicated batch + Pallas custom call (above)
+            check_vma=False,
+        )(state.weights, state.opt, sb_g.ids, sb_g.lengths, d_tokens,
           jnp.asarray(learning_rate, jnp.float32))
         return EmbeddingGroupState(weights=new_w, opt=new_opt)
 

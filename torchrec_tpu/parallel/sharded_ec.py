@@ -80,8 +80,18 @@ class ShardedEmbeddingCollection:
         key_index = {k: i for i, k in enumerate(sb.keys)}
         return sb.select_features([key_index[f] for f in feats])
 
+    def input_dist(self, sb: PaddedSparseBatch):
+        """Prefetchable sparse input dist, per group (None for groups
+        whose strategy gathers in-step) — see ShardedEBC.input_dist."""
+        return tuple(
+            strat.input_dist(self._group_batch(sb, gi))
+            if strat.supports_input_dist
+            else None
+            for gi, strat in enumerate(self.strategies)
+        )
+
     def forward(
-        self, states, sb: PaddedSparseBatch
+        self, states, sb: PaddedSparseBatch, dist=None
     ) -> Dict[str, Array]:
         """-> {embedding_name: [B, L, D]} per-token rows (pad rows zero)."""
         out: Dict[str, Array] = {}
@@ -89,14 +99,20 @@ class ShardedEmbeddingCollection:
             with jax.named_scope(
                 f"## ec_fwd_{group.sharding_type.value}_g{gi} ##"
             ):
-                rows = strat.forward(states[gi], self._group_batch(sb, gi))
+                d = dist[gi] if dist is not None else None
+                if d is not None:
+                    rows = strat.forward_from_dist(states[gi], d)
+                else:
+                    rows = strat.forward(
+                        states[gi], self._group_batch(sb, gi)
+                    )
             for j, ename in enumerate(group.embedding_names):
                 out[ename] = rows[j]
         return out
 
     def update(
         self, states, sb: PaddedSparseBatch, d_tokens: Dict[str, Array],
-        learning_rate,
+        learning_rate, dist=None,
     ):
         new_states: List[EmbeddingGroupState] = []
         for gi, (strat, group) in enumerate(zip(self.strategies, self.groups)):
@@ -106,22 +122,34 @@ class ShardedEmbeddingCollection:
             with jax.named_scope(
                 f"## ec_update_{group.sharding_type.value}_g{gi} ##"
             ):
-                new_states.append(
-                    strat.update(
-                        states[gi], self._group_batch(sb, gi), d, learning_rate
+                dg = dist[gi] if dist is not None else None
+                if dg is not None:
+                    new_states.append(
+                        strat.update_from_dist(
+                            states[gi], dg, d, learning_rate
+                        )
                     )
-                )
+                else:
+                    new_states.append(
+                        strat.update(
+                            states[gi], self._group_batch(sb, gi), d,
+                            learning_rate,
+                        )
+                    )
         return tuple(new_states)
 
     # -- stacked views (used by DistributedModelParallel's injection) -------
 
-    def forward_stacked(self, states, sb: PaddedSparseBatch) -> Array:
+    def forward_stacked(
+        self, states, sb: PaddedSparseBatch, dist=None
+    ) -> Array:
         """[F_all, B, L, D] in canonical embedding-name order."""
-        per_name = self.forward(states, sb)
+        per_name = self.forward(states, sb, dist=dist)
         return jnp.stack([per_name[n] for n in self.embedding_names], axis=0)
 
-    def update_stacked(self, states, sb, d_stacked: Array, learning_rate):
+    def update_stacked(self, states, sb, d_stacked: Array, learning_rate,
+                       dist=None):
         d_tokens = {
             n: d_stacked[i] for i, n in enumerate(self.embedding_names)
         }
-        return self.update(states, sb, d_tokens, learning_rate)
+        return self.update(states, sb, d_tokens, learning_rate, dist=dist)
