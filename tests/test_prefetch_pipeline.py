@@ -386,13 +386,7 @@ def test_sparse_dist_pipeline_reusable_across_epochs(env):
     np.testing.assert_allclose(losses_a, losses_b, rtol=0, atol=0)
 
 
-@pytest.mark.parametrize(
-    "stype",
-    [ShardingType.ROW_WISE, ShardingType.TABLE_WISE],
-    ids=lambda s: s.value,
-)
-def test_sequence_ec_from_dist_matches_direct(env, stype):
-    """Token-level from_dist parity on the sharded EmbeddingCollection."""
+def _run_sequence_ec_parity(env, plan, optim_kwargs=None):
     from torchrec_tpu.modules import EmbeddingConfig
     from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
 
@@ -403,13 +397,10 @@ def test_sequence_ec_from_dist_matches_direct(env, stype):
         EmbeddingConfig(num_embeddings=30, embedding_dim=D, name="cats",
                         feature_names=["cat"]),
     )
-    if stype is ShardingType.TABLE_WISE:
-        plan = {"items": ParameterSharding(stype, ranks=[1]),
-                "cats": ParameterSharding(stype, ranks=[6])}
-    else:
-        plan = {t.name: ParameterSharding(stype) for t in tables}
+    plan = plan(tables)
     ec = ShardedEmbeddingCollection(
-        env, tables, plan, optim=EmbOptimType.ROWWISE_ADAGRAD
+        env, tables, plan, optim=EmbOptimType.ROWWISE_ADAGRAD,
+        optim_kwargs=optim_kwargs,
     )
     rng = np.random.RandomState(5)
     states = ec.shard_from_dense({
@@ -448,6 +439,39 @@ def test_sequence_ec_from_dist_matches_direct(env, stype):
     )(states, sb, d_tokens, dist)
     for a, b in zip(jax.tree.leaves(direct_u), jax.tree.leaves(pre_u)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize(
+    "stype",
+    [ShardingType.ROW_WISE, ShardingType.TABLE_WISE],
+    ids=lambda s: s.value,
+)
+def test_sequence_ec_from_dist_matches_direct(env, stype):
+    """Token-level from_dist parity on the sharded EmbeddingCollection."""
+    def plan(tables):
+        if stype is ShardingType.TABLE_WISE:
+            return {"items": ParameterSharding(stype, ranks=[1]),
+                    "cats": ParameterSharding(stype, ranks=[6])}
+        return {t.name: ParameterSharding(stype) for t in tables}
+
+    _run_sequence_ec_parity(env, plan)
+
+
+@pytest.mark.parametrize("routing", ["allgather", "a2a"])
+def test_sequence_hierarchical_from_dist_matches_direct(henv, routing):
+    """Hierarchical sequence (host-pinned TWRW tokens), both routing
+    modes — the routed a2a dist now works through the sequence path."""
+    def plan(tables):
+        H = henv.num_hosts
+        return {
+            t.name: ParameterSharding(
+                ShardingType.TABLE_ROW_WISE, host=i % H
+            )
+            for i, t in enumerate(tables)
+        }
+
+    _run_sequence_ec_parity(henv, plan,
+                            optim_kwargs={"input_routing": routing})
 
 
 def test_sequence_strategy_input_dist_flags():

@@ -326,9 +326,54 @@ class TwRwSequenceEmbeddingSharding:
         )
 
         class _Impl(TwRwEmbeddingSharding):
-            # token-level outputs: don't advertise the inherited POOLED
-            # *_from_dist bodies to prefetch consumers
-            supports_input_dist = False
+            # token-level *_from_dist bodies below REPLACE the inherited
+            # pooled ones; input_dist/_acquire_inputs are inherited (and
+            # honor input_routing="a2a" — the routed DCN dist now works
+            # for the sequence path too)
+            supports_input_dist = True
+
+            def _fwd_tok_tail(self, w, l, ids_m, len_m, sr, off, L):
+                owner_l = ids_m // sr
+                local = ids_m % sr + off
+                owned = (owner_l == l) & _token_mask(len_m, L)
+                rows = lookup_rows(
+                    w[0], local.reshape(-1)
+                ).reshape(*local.shape, w.shape[-1])
+                rows = rows * owned.astype(w.dtype)[..., None]
+                intra = lax.psum_scatter(
+                    rows, AXIS, scatter_dimension=1, tiled=True,
+                    axis_index_groups=self.intra_groups,
+                )  # [f_max, B/Lc, L, D]
+                cross = lax.all_to_all(
+                    intra, AXIS, split_axis=1, concat_axis=0,
+                    tiled=True, axis_index_groups=self.cross_groups,
+                )  # [H*f_max, B/n, L, D]
+                return cross[jnp.asarray(self.out_pos)]
+
+            def _upd_tok_tail(self, w, opt, l, d_out, ids_m, len_m, sr,
+                              off, lr, L):
+                D = self.dim
+                slots = jnp.zeros(
+                    (self.H * self.f_max, d_out.shape[1], L, D),
+                    d_out.dtype,
+                ).at[jnp.asarray(self.out_pos)].set(d_out)
+                d1 = lax.all_to_all(
+                    slots, AXIS, split_axis=0, concat_axis=1,
+                    tiled=True, axis_index_groups=self.cross_groups,
+                )  # [f_max, B/Lc, L, D]
+                d_full = lax.all_gather(
+                    d1, AXIS, axis=1, tiled=True,
+                    axis_index_groups=self.intra_groups,
+                )  # [f_max, B, L, D] staggered (matches ids_m)
+                owner_l = ids_m // sr
+                local = ids_m % sr + off
+                owned = (owner_l == l) & _token_mask(len_m, L)
+                new_w, new_opt = apply_fused_update(
+                    w[0], self._opt_local(opt),
+                    local.reshape(-1), d_full.reshape(-1, D),
+                    owned.reshape(-1), lr, **self.optim_kwargs,
+                )
+                return new_w[None], self._opt_relocal(new_opt)
 
             def forward(self, state, sb):
                 F, B_loc, L = sb.ids.shape
@@ -337,29 +382,12 @@ class TwRwSequenceEmbeddingSharding:
                 def fwd(w, ids, lengths):
                     my = lax.axis_index(AXIS)
                     h, l = my // Lc, my % Lc
-                    ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-                    len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-                    ids_s = self._stagger(ids_g, 1)
-                    len_s = self._stagger(len_g, 1)
-                    ids_m, len_m, _, _, sr, off = self._mine(
-                        ids_s, len_s, None, h
+                    ids_m, len_m, _, _, sr, off = self._acquire_inputs(
+                        ids, lengths, None, h, False
                     )
-                    owner_l = ids_m // sr
-                    local = ids_m % sr + off
-                    owned = (owner_l == l) & _token_mask(len_m, L)
-                    rows = lookup_rows(
-                        w[0], local.reshape(-1)
-                    ).reshape(*local.shape, w.shape[-1])
-                    rows = rows * owned.astype(w.dtype)[..., None]
-                    intra = lax.psum_scatter(
-                        rows, AXIS, scatter_dimension=1, tiled=True,
-                        axis_index_groups=self.intra_groups,
-                    )  # [f_max, B/Lc, L, D]
-                    cross = lax.all_to_all(
-                        intra, AXIS, split_axis=1, concat_axis=0,
-                        tiled=True, axis_index_groups=self.cross_groups,
-                    )  # [H*f_max, B/n, L, D]
-                    return cross[jnp.asarray(self.out_pos)]
+                    return self._fwd_tok_tail(
+                        w, l, ids_m, len_m, sr, off, L
+                    )
 
                 return jax.shard_map(
                     fwd,
@@ -368,42 +396,41 @@ class TwRwSequenceEmbeddingSharding:
                     out_specs=P(None, AXIS),
                 )(state.weights, sb.ids, sb.lengths)
 
+            def forward_from_dist(self, state, dist):
+                ids_r, len_r, _ = dist
+                L = ids_r.shape[3]
+                Lc = self.Lc
+
+                def fwd(w, ids_rl, len_rl):
+                    my = lax.axis_index(AXIS)
+                    h, l = my // Lc, my % Lc
+                    _, sr, off = self._host_meta(h)
+                    return self._fwd_tok_tail(
+                        w, l, ids_rl[0], len_rl[0], sr, off, L
+                    )
+
+                return jax.shard_map(
+                    fwd,
+                    mesh=self.env.mesh,
+                    in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                    out_specs=P(None, AXIS),
+                    # pre-distributed per-device views
+                    check_vma=False,
+                )(state.weights, ids_r, len_r)
+
             def update(self, state, sb, d_tokens, learning_rate):
                 F, B_loc, L = sb.ids.shape
                 Lc = self.Lc
-                D = self.dim
-                f_max = self.f_max
 
                 def upd(w, opt, ids, lengths, d_out, lr):
                     my = lax.axis_index(AXIS)
                     h, l = my // Lc, my % Lc
-                    ids_g = lax.all_gather(ids, AXIS, axis=1, tiled=True)
-                    len_g = lax.all_gather(lengths, AXIS, axis=1, tiled=True)
-                    ids_s = self._stagger(ids_g, 1)
-                    len_s = self._stagger(len_g, 1)
-                    slots = jnp.zeros(
-                        (self.H * f_max, d_out.shape[1], L, D), d_out.dtype
-                    ).at[jnp.asarray(self.out_pos)].set(d_out)
-                    d1 = lax.all_to_all(
-                        slots, AXIS, split_axis=0, concat_axis=1,
-                        tiled=True, axis_index_groups=self.cross_groups,
-                    )  # [f_max, B/Lc, L, D]
-                    d_full = lax.all_gather(
-                        d1, AXIS, axis=1, tiled=True,
-                        axis_index_groups=self.intra_groups,
-                    )  # [f_max, B, L, D] staggered (matches ids_s)
-                    ids_m, len_m, _, _, sr, off = self._mine(
-                        ids_s, len_s, None, h
+                    ids_m, len_m, _, _, sr, off = self._acquire_inputs(
+                        ids, lengths, None, h, False
                     )
-                    owner_l = ids_m // sr
-                    local = ids_m % sr + off
-                    owned = (owner_l == l) & _token_mask(len_m, L)
-                    new_w, new_opt = apply_fused_update(
-                        w[0], self._opt_local(opt),
-                        local.reshape(-1), d_full.reshape(-1, D),
-                        owned.reshape(-1), lr, **self.optim_kwargs,
+                    return self._upd_tok_tail(
+                        w, opt, l, d_out, ids_m, len_m, sr, off, lr, L
                     )
-                    return new_w[None], self._opt_relocal(new_opt)
 
                 new_w, new_opt = jax.shard_map(
                     upd,
@@ -414,6 +441,32 @@ class TwRwSequenceEmbeddingSharding:
                     out_specs=(P(AXIS), self._opt_specs(sharded=True)),
                     check_vma=False,  # Pallas custom call opaque to VMA
                 )(state.weights, state.opt, sb.ids, sb.lengths, d_tokens,
+                  jnp.asarray(learning_rate, jnp.float32))
+                return EmbeddingGroupState(weights=new_w, opt=new_opt)
+
+            def update_from_dist(self, state, dist, d_tokens,
+                                 learning_rate):
+                ids_r, len_r, _ = dist
+                L = ids_r.shape[3]
+                Lc = self.Lc
+
+                def upd(w, opt, ids_rl, len_rl, d_out, lr):
+                    my = lax.axis_index(AXIS)
+                    h, l = my // Lc, my % Lc
+                    _, sr, off = self._host_meta(h)
+                    return self._upd_tok_tail(
+                        w, opt, l, d_out, ids_rl[0], len_rl[0], sr, off,
+                        lr, L,
+                    )
+
+                new_w, new_opt = jax.shard_map(
+                    upd,
+                    mesh=self.env.mesh,
+                    in_specs=(P(AXIS), self._opt_specs(sharded=True),
+                              P(AXIS), P(AXIS), P(None, AXIS), P()),
+                    out_specs=(P(AXIS), self._opt_specs(sharded=True)),
+                    check_vma=False,  # Pallas custom call opaque to VMA
+                )(state.weights, state.opt, ids_r, len_r, d_tokens,
                   jnp.asarray(learning_rate, jnp.float32))
                 return EmbeddingGroupState(weights=new_w, opt=new_opt)
 
