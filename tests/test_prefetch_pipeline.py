@@ -474,21 +474,129 @@ def test_sequence_hierarchical_from_dist_matches_direct(henv, routing):
                             optim_kwargs={"input_routing": routing})
 
 
-def test_sequence_strategy_input_dist_flags():
-    """Sequence strategies may only advertise input_dist support when
-    they define their OWN token-level *_from_dist bodies (the pooled
-    ones inherited from RW/TW would be silently wrong)."""
-    from torchrec_tpu.parallel.sequence_strategies import (
-        DpSequenceEmbeddingSharding,
-        RwSequenceEmbeddingSharding,
-        TwSequenceEmbeddingSharding,
+def test_dmp_ec_prefetched_step_matches_direct(env):
+    """DMP-level EC prefetch: an EmbeddingCollection model's dist must
+    flow through make_prefetched_train_step bit-exactly (pins
+    dmp._dist_keys including kind 'ec' and the dist= pass-through in the
+    EC forward/update dispatch — the EC parity tests above call the
+    sharded module directly and never exercise the DMP plumbing)."""
+    import optax
+
+    from torchrec_tpu.models.bert4rec import (
+        BERT4Rec,
+        BERT4RecTrain,
+        make_item_embedding_collection,
     )
 
-    for cls in (RwSequenceEmbeddingSharding, TwSequenceEmbeddingSharding):
-        assert cls.supports_input_dist
-        assert "forward_from_dist" in cls.__dict__, (
-            f"{cls.__name__} advertises input_dist but inherits the "
-            "POOLED forward_from_dist"
-        )
-        assert "update_from_dist" in cls.__dict__
-    assert not DpSequenceEmbeddingSharding.supports_input_dist
+    SL = 4
+    model = BERT4RecTrain(
+        model=BERT4Rec(vocab_size=60, max_len=SL, emb_dim=D, nhead=4,
+                       num_layers=1, dropout=0.0,
+                       ec=make_item_embedding_collection(60, D, SL))
+    )
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        lengths = np.full((B,), SL, np.int32)
+        vals = r.randint(1, 60, size=(B * SL,)).astype(np.int32)
+        sb = KeyedJaggedTensor.from_lengths(
+            ["item"], jnp.asarray(vals), jnp.asarray(lengths)
+        ).to_padded(SL)
+        return sb, jnp.asarray(np.asarray(sb.ids[0, :, :]))
+
+    plan = ShardingPlan({"model/ec": {
+        "item_embedding": ParameterSharding(ShardingType.ROW_WISE)}})
+    dmp = DistributedModelParallel(
+        model, env=env, plan=plan,
+        fused_params={"learning_rate": LR},
+        dense_optimizer=optax.adam(1e-2),
+    )
+    assert dmp._dist_keys(), "EC module must be prefetchable through DMP"
+
+    sb0, lab0 = make_batch(0)
+    state_a = dmp.init(jax.random.PRNGKey(0), sb0, lab0)
+    state_b = jax.tree.map(lambda x: x, state_a)
+
+    step = dmp.make_train_step(donate=False)
+    pstep = dmp.make_prefetched_train_step(donate=False)
+    batches = [make_batch(s) for s in range(4)]
+    dists = jax.jit(dmp.input_dist)(batches[0][0])
+    assert any(
+        d is not None for groups in dists.values() for d in groups
+    ), "EC dist must contain a prefetched group batch"
+    losses_a, losses_b = [], []
+    for i, args in enumerate(batches):
+        state_a, loss_a, _ = step(state_a, *args)
+        losses_a.append(float(loss_a))
+        next_sb = batches[min(i + 1, len(batches) - 1)][0]
+        state_b, loss_b, _, dists = pstep(state_b, dists, next_sb, *args)
+        losses_b.append(float(loss_b))
+    np.testing.assert_allclose(losses_a, losses_b, rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sequence_strategy_input_dist_flags(env, henv):
+    """A sequence strategy may only advertise input_dist support when it
+    defines its OWN token-level *_from_dist bodies below every POOLED
+    strategy class in its MRO (the inherited pooled bodies would be
+    silently wrong from the prefetch path). Structural over the factory
+    REGISTRY and over live instances, so dynamically-created classes
+    (the TwRw sequence __new__ _Impl) and future registry entries are
+    covered, not just a hand-picked class list."""
+    from torchrec_tpu.modules import EmbeddingConfig
+    from torchrec_tpu.parallel.hierarchical_strategies import (
+        TwCwEmbeddingSharding,
+        TwRwEmbeddingSharding,
+    )
+    from torchrec_tpu.parallel.sequence_strategies import (
+        SEQUENCE_STRATEGY_REGISTRY,
+    )
+    from torchrec_tpu.parallel.sharded_ec import ShardedEmbeddingCollection
+    from torchrec_tpu.parallel.strategies import (
+        BaseEmbeddingShardingStrategy,
+        CwEmbeddingSharding,
+        DpEmbeddingSharding,
+        RwEmbeddingSharding,
+        TwEmbeddingSharding,
+    )
+
+    POOLED = (
+        BaseEmbeddingShardingStrategy,
+        DpEmbeddingSharding,
+        RwEmbeddingSharding,
+        TwEmbeddingSharding,
+        CwEmbeddingSharding,
+        TwRwEmbeddingSharding,
+        TwCwEmbeddingSharding,
+    )
+    tables = (
+        EmbeddingConfig(num_embeddings=32, embedding_dim=D, name="t",
+                        feature_names=["f"]),
+    )
+    supported = 0
+    for stype in SEQUENCE_STRATEGY_REGISTRY:
+        hier = stype in (ShardingType.TABLE_ROW_WISE,
+                         ShardingType.TABLE_COLUMN_WISE)
+        e = henv if hier else env
+        if hier:
+            ps = ParameterSharding(stype, host=0)
+        elif stype is ShardingType.TABLE_WISE:
+            ps = ParameterSharding(stype, ranks=[1])
+        else:
+            ps = ParameterSharding(stype)
+        ec = ShardedEmbeddingCollection(e, tables, {"t": ps})
+        (strat,) = ec.strategies
+        if not strat.supports_input_dist:
+            continue
+        supported += 1
+        for name in ("forward_from_dist", "update_from_dist"):
+            defining = next(
+                c for c in type(strat).__mro__ if name in vars(c)
+            )
+            assert defining not in POOLED, (
+                f"{type(strat).__name__} ({stype.value}) advertises "
+                f"input_dist but inherits the POOLED {name} from "
+                f"{defining.__name__}"
+            )
+    assert supported >= 3  # RW, TW and the hierarchical wrapper

@@ -230,10 +230,14 @@ def test_ec_state_dict_roundtrip(env):
                                rtol=1e-6)
 
 
-def test_sequence_twrw_parity():
+@pytest.mark.parametrize("routing", ["allgather", "a2a"])
+def test_sequence_twrw_parity(routing):
     """Hierarchical (TWRW) sequence sharding: per-token rows match the
     unsharded reference, and the fused update matches eager rowwise
-    adagrad (ref: test_sequence_model_parallel_hierarchical.py)."""
+    adagrad (ref: test_sequence_model_parallel_hierarchical.py).
+    Absolute reference under BOTH routing modes — the from_dist parity
+    tests compare direct-vs-dist with the SAME routing, so a routing bug
+    shared by both paths would slip through them."""
     env4 = ShardingEnv.from_devices(local_size=4)  # 2 hosts x 4
     tables = _tables()
     sec = ShardedEmbeddingCollection(
@@ -241,7 +245,7 @@ def test_sequence_twrw_parity():
         {t.name: ParameterSharding(ShardingType.TABLE_ROW_WISE,
                                    host=i % 2)
          for i, t in enumerate(tables)},
-        optim_kwargs={"eps": 1e-8},
+        optim_kwargs={"eps": 1e-8, "input_routing": routing},
     )
     rng = np.random.RandomState(0)
     dense = {

@@ -74,6 +74,30 @@ class GroupMeta:
         return np.asarray(out, dtype=bool)
 
 
+class GroupedInputDistMixin:
+    """Per-group sparse input-dist dispatch shared by the sharded
+    EBC/EC modules (host class must define ``self.groups`` /
+    ``self.strategies``)."""
+
+    def _group_batch(self, sb, group_idx: int):
+        feats = self.groups[group_idx].features
+        key_index = {k: i for i, k in enumerate(sb.keys)}
+        return sb.select_features([key_index[f] for f in feats])
+
+    def input_dist(self, sb):
+        """The prefetchable sparse input dist: per-group pre-gathered
+        global batches (None for groups whose strategy gathers in-step).
+        Feed the result to forward/update's `dist` to skip the in-step
+        id all_gather — the TPU analogue of the reference's pre-issued
+        input dist (ref train_pipeline.py:422-536)."""
+        return tuple(
+            strat.input_dist(self._group_batch(sb, gi))
+            if strat.supports_input_dist
+            else None
+            for gi, strat in enumerate(self.strategies)
+        )
+
+
 def group_tables(
     tables: Sequence[EmbeddingBagConfig],
     embedding_names_per_table: Sequence[Sequence[str]],

@@ -22,7 +22,10 @@ import numpy as np
 from torchrec_tpu.modules.embedding_configs import EmbeddingBagConfig
 from torchrec_tpu.modules.embedding_modules import embedding_names_by_table
 from torchrec_tpu.ops.fused_update import EmbOptimType
-from torchrec_tpu.parallel.embedding_sharding import group_tables
+from torchrec_tpu.parallel.embedding_sharding import (
+    GroupedInputDistMixin,
+    group_tables,
+)
 from torchrec_tpu.parallel.strategies import (
     EmbeddingGroupState,
     create_sharding_strategy,
@@ -33,7 +36,7 @@ from torchrec_tpu.sparse import KeyedTensor, PaddedSparseBatch
 Array = jax.Array
 
 
-class ShardedEmbeddingBagCollection:
+class ShardedEmbeddingBagCollection(GroupedInputDistMixin):
     """Functional sharded EBC: holds static routing info + strategies,
     state lives in the caller's train state (a tuple of group states)."""
 
@@ -103,27 +106,7 @@ class ShardedEmbeddingBagCollection:
 
     # -- compute -----------------------------------------------------------
 
-    def _group_batch(
-        self, sb: PaddedSparseBatch, group_idx: int
-    ) -> PaddedSparseBatch:
-        feats = self.groups[group_idx].features
-        key_index = {k: i for i, k in enumerate(sb.keys)}
-        return sb.select_features([key_index[f] for f in feats])
-
-    def input_dist(
-        self, sb: PaddedSparseBatch
-    ) -> Tuple[Optional[PaddedSparseBatch], ...]:
-        """The prefetchable sparse input dist: per-group pre-gathered
-        global batches (None for groups whose strategy gathers in-step).
-        Feed the result to forward/update's `dist` to skip the in-step id
-        all_gather — the TPU analogue of the reference's pre-issued
-        input dist (ref train_pipeline.py:422-536)."""
-        return tuple(
-            strat.input_dist(self._group_batch(sb, gi))
-            if strat.supports_input_dist
-            else None
-            for gi, strat in enumerate(self.strategies)
-        )
+    # _group_batch / input_dist come from GroupedInputDistMixin
 
     def forward(
         self,

@@ -17,7 +17,10 @@ import numpy as np
 from torchrec_tpu.modules.embedding_configs import EmbeddingConfig
 from torchrec_tpu.modules.embedding_modules import embedding_names_by_table
 from torchrec_tpu.ops.fused_update import EmbOptimType
-from torchrec_tpu.parallel.embedding_sharding import group_tables
+from torchrec_tpu.parallel.embedding_sharding import (
+    GroupedInputDistMixin,
+    group_tables,
+)
 from torchrec_tpu.parallel.sequence_strategies import (
     create_sequence_sharding_strategy,
 )
@@ -28,7 +31,7 @@ from torchrec_tpu.sparse import PaddedSparseBatch
 Array = jax.Array
 
 
-class ShardedEmbeddingCollection:
+class ShardedEmbeddingCollection(GroupedInputDistMixin):
     """Functional sharded EC (ref: embedding.py:195)."""
 
     def __init__(
@@ -75,20 +78,7 @@ class ShardedEmbeddingCollection:
             out.update(s.unshard_to_dense(st.weights))
         return out
 
-    def _group_batch(self, sb: PaddedSparseBatch, gi: int) -> PaddedSparseBatch:
-        feats = self.groups[gi].features
-        key_index = {k: i for i, k in enumerate(sb.keys)}
-        return sb.select_features([key_index[f] for f in feats])
-
-    def input_dist(self, sb: PaddedSparseBatch):
-        """Prefetchable sparse input dist, per group (None for groups
-        whose strategy gathers in-step) — see ShardedEBC.input_dist."""
-        return tuple(
-            strat.input_dist(self._group_batch(sb, gi))
-            if strat.supports_input_dist
-            else None
-            for gi, strat in enumerate(self.strategies)
-        )
+    # _group_batch / input_dist come from GroupedInputDistMixin
 
     def forward(
         self, states, sb: PaddedSparseBatch, dist=None

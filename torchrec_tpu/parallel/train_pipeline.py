@@ -94,8 +94,9 @@ class SparseDistPipeline(TrainPipeline):
     with batch i's dense compute, no streams or FX rewrites).
 
     Numerics are identical to TrainPipeline/make_train_step (the same
-    collectives run, one batch earlier). Modules that cannot prefetch
-    (feature processors, UVM, towers, ECs) transparently gather in-step.
+    collectives run, one batch earlier). EBCs and ECs both prefetch;
+    modules that cannot (feature processors, UVM, towers) transparently
+    gather in-step.
     On the final batch the step re-dists the last batch as a throwaway
     placeholder to keep the compiled program static; exhausting an
     iterator resets the primed dist, so one pipeline can be reused
