@@ -1,0 +1,1 @@
+"""Utility subpackage: checkpointing, metrics, torch-checkpoint interop."""
