@@ -190,6 +190,94 @@ def test_import_from_pt_file(dmp_state, tmp_path):
     assert report.num_tables == 3
 
 
+def _torch_dense_sd(seed=11):
+    """Reference-DLRM dense params at this fixture's shapes
+    (dense 8->16->16; over (16+6)=22->16->1)."""
+    rng = np.random.RandomState(seed)
+
+    def lin(i, o):
+        return (torch.from_numpy(rng.randn(o, i).astype(np.float32)),
+                torch.from_numpy(rng.randn(o).astype(np.float32)))
+
+    sd = {}
+    for i, (fi, fo) in enumerate([(DENSE_IN, 16), (16, D)]):
+        w, b = lin(fi, fo)
+        sd[f"model.dense_arch.model._mlp.{i}._linear.weight"] = w
+        sd[f"model.dense_arch.model._mlp.{i}._linear.bias"] = b
+    w, b = lin(22, 16)
+    sd["model.over_arch.model.0._mlp.0._linear.weight"] = w
+    sd["model.over_arch.model.0._mlp.0._linear.bias"] = b
+    w, b = lin(16, 1)
+    sd["model.over_arch.model.1.weight"] = w
+    sd["model.over_arch.model.1.bias"] = b
+    return sd
+
+
+def test_import_dlrm_dense_maps_and_transposes(dmp_state):
+    from torchrec_tpu.utils.torch_interop import import_dlrm_dense
+
+    dmp, state = dmp_state
+    sd = _torch_dense_sd()
+    new_state, matched = import_dlrm_dense(dmp, state, sd)
+    assert len(matched) == 8
+
+    p = new_state.dense_params["dlrm"]
+    for i in range(2):
+        k = np.asarray(
+            p["dense_arch"]["MLP_0"][f"Perceptron_{i}"]["Dense_0"]["kernel"]
+        )
+        w = sd[f"model.dense_arch.model._mlp.{i}._linear.weight"].numpy()
+        np.testing.assert_allclose(k, w.T, rtol=1e-6)
+    hk = np.asarray(p["over_arch"]["head"]["Dense_0"]["kernel"])
+    np.testing.assert_allclose(
+        hk, sd["model.over_arch.model.1.weight"].numpy().T, rtol=1e-6
+    )
+
+    # dense-arch MLP math parity: torch forward == numpy relu chain over
+    # the imported flax tree (validates layer order + transpose, not
+    # just placement)
+    x = np.random.RandomState(1).randn(5, DENSE_IN).astype(np.float32)
+    t_out = torch.from_numpy(x)
+    for i in range(2):
+        t_out = torch.relu(
+            t_out @ sd[f"model.dense_arch.model._mlp.{i}._linear.weight"].T
+            + sd[f"model.dense_arch.model._mlp.{i}._linear.bias"]
+        )
+    f_out = x
+    for i in range(2):
+        layer = p["dense_arch"]["MLP_0"][f"Perceptron_{i}"]["Dense_0"]
+        f_out = np.maximum(
+            f_out @ np.asarray(layer["kernel"]) + np.asarray(layer["bias"]),
+            0.0,
+        )
+    np.testing.assert_allclose(f_out, t_out.numpy(), rtol=1e-5, atol=1e-6)
+
+    # and the imported params change the live model's loss
+    dense, sb, labels = _batch(4)
+    step = dmp.make_train_step(donate=False)
+    assert float(step(new_state, dense, sb, labels)[1]) != float(
+        step(state, dense, sb, labels)[1]
+    )
+
+
+def test_import_dlrm_dense_shape_mismatch_raises(dmp_state):
+    from torchrec_tpu.utils.torch_interop import import_dlrm_dense
+
+    dmp, state = dmp_state
+    sd = {"model.dense_arch.model._mlp.0._linear.weight":
+          torch.zeros(16, DENSE_IN + 1)}
+    with pytest.raises(ValueError, match="shape"):
+        import_dlrm_dense(dmp, state, sd)
+
+
+def test_import_dlrm_dense_no_match_raises(dmp_state):
+    from torchrec_tpu.utils.torch_interop import import_dlrm_dense
+
+    dmp, state = dmp_state
+    with pytest.raises(ValueError, match="no reference DLRM dense"):
+        import_dlrm_dense(dmp, state, {"x.weight": torch.zeros(2, 2)})
+
+
 class _FakeDmp:
     """Matching-logic harness: two modules with a shared table name."""
 

@@ -213,6 +213,152 @@ def import_torch_state_dict(
     return new_state, report
 
 
+# reference DLRM dense FQNs (ref models/dlrm.py:116-258 — DenseArch holds
+# MLP at .model, OverArch a Sequential(MLP, Linear) at .model; MLP layers
+# are Perceptron._linear, ref modules/mlp.py:58,132)
+_DLRM_DENSE_RE = re.compile(
+    r"(?:^|\.)dense_arch\.model\._mlp\.(?P<i>\d+)\._linear"
+    r"\.(?P<p>weight|bias)$"
+)
+_DLRM_OVER_MLP_RE = re.compile(
+    r"(?:^|\.)over_arch\.model\.0\._mlp\.(?P<i>\d+)\._linear"
+    r"\.(?P<p>weight|bias)$"
+)
+_DLRM_OVER_HEAD_RE = re.compile(
+    r"(?:^|\.)over_arch\.model\.1\.(?P<p>weight|bias)$"
+)
+
+
+def _set_path(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        if p not in node or not isinstance(node[p], dict):
+            raise KeyError(
+                f"dense param path {'/'.join(path)} not found in the "
+                f"model tree (at {p!r}; have {sorted(node)})"
+            )
+        node = node[p]
+    if path[-1] not in node:
+        raise KeyError(f"dense param leaf {'/'.join(path)} not found")
+    cur = np.asarray(node[path[-1]])
+    if cur.shape != value.shape:
+        raise ValueError(
+            f"dense param {'/'.join(path)}: checkpoint shape "
+            f"{value.shape} != model shape {cur.shape}"
+        )
+    node[path[-1]] = value.astype(cur.dtype)
+
+
+def import_dlrm_dense(dmp, state, sd: Any) -> Tuple[Any, List[str]]:
+    """Load a reference DLRM checkpoint's DENSE params (the MLPs the
+    table importer deliberately skips) into the DMP state.
+
+    torch ``nn.Linear`` stores ``weight`` as ``[out, in]`` acting as
+    ``x @ W.T + b``; flax ``Dense`` stores ``kernel`` as ``[in, out]``
+    acting as ``x @ K + b`` — so ``kernel = weight.T``. Layer mapping:
+
+    * ``dense_arch.model._mlp.<i>._linear`` -> ``dense_arch/MLP_0/Perceptron_<i>/Dense_0``
+    * ``over_arch.model.0._mlp.<i>._linear`` -> ``over_arch/MLP_0/Perceptron_<i>/Dense_0``
+    * ``over_arch.model.1`` (final Linear)   -> ``over_arch/head/Dense_0``
+
+    The dense optimizer state is left as-is (a fresh-momentum resume,
+    same semantics as a cross-plan table load). Returns
+    ``(new_state, matched_torch_keys)``; raises if a matched key's shape
+    disagrees with the model, or if nothing matches.
+    """
+    mapping = _load_mapping(sd)
+    # _unfreeze rebuilds every dict level, so leaf reassignment below
+    # never aliases the caller's tree
+    params = _unfreeze(state.dense_params)
+
+    # the flax subtree that holds dense_arch/over_arch, wherever nested
+    def find_root(node, path=()):
+        if isinstance(node, dict):
+            if "dense_arch" in node and "over_arch" in node:
+                return path
+            for k, v in node.items():
+                r = find_root(v, path + (k,))
+                if r is not None:
+                    return r
+        return None
+
+    root = find_root(params)
+    if root is None:
+        raise ValueError(
+            "model's dense params contain no dense_arch/over_arch subtree "
+            "— import_dlrm_dense only maps the DLRM architecture"
+        )
+
+    matched: List[str] = []
+    for k, v in mapping.items():
+        for rex, arch, head in (
+            (_DLRM_DENSE_RE, "dense_arch", False),
+            (_DLRM_OVER_MLP_RE, "over_arch", False),
+            (_DLRM_OVER_HEAD_RE, "over_arch", True),
+        ):
+            m = rex.search(k)
+            if m is None:
+                continue
+            arr = _to_numpy(v)
+            p = m.group("p")
+            leaf = "kernel" if p == "weight" else "bias"
+            if p == "weight":
+                arr = arr.T  # torch [out, in] -> flax [in, out]
+            if head:
+                sub: Tuple[str, ...] = (arch, "head", "Dense_0", leaf)
+            else:
+                sub = (
+                    arch, "MLP_0", f"Perceptron_{m.group('i')}",
+                    "Dense_0", leaf,
+                )
+            _set_path(params, root + sub, arr)
+            matched.append(k)
+            break
+    if not matched:
+        raise ValueError(
+            "no reference DLRM dense params found (expected keys like "
+            "'...dense_arch.model._mlp.0._linear.weight')"
+        )
+    return state.replace(dense_params=_refreeze(state.dense_params, params)), matched
+
+
+def _unfreeze(tree):
+    try:  # flax FrozenDict or plain dict
+        from flax.core import FrozenDict, unfreeze
+
+        if isinstance(tree, FrozenDict):
+            return unfreeze(tree)
+    except Exception:  # noqa: BLE001 - flax layout drift
+        pass
+    if isinstance(tree, dict):
+        return {
+            k: _unfreeze(v) if isinstance(v, (dict,)) or _is_frozen(v)
+            else v
+            for k, v in tree.items()
+        }
+    return tree
+
+
+def _is_frozen(v) -> bool:
+    try:
+        from flax.core import FrozenDict
+
+        return isinstance(v, FrozenDict)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _refreeze(original, tree):
+    try:
+        from flax.core import FrozenDict, freeze
+
+        if isinstance(original, FrozenDict):
+            return freeze(tree)
+    except Exception:  # noqa: BLE001
+        pass
+    return tree
+
+
 def export_torch_state_dict(
     dmp,
     state,
