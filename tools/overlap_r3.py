@@ -34,7 +34,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def _build_step(n_devices):
+def _build_step(n_devices, devices=None, do_init=True, local_size=None):
     import jax
     import optax
 
@@ -48,7 +48,10 @@ def _build_step(n_devices):
         ShardingType,
     )
 
-    env = ShardingEnv.from_devices(jax.devices()[:n_devices])
+    env = ShardingEnv.from_devices(
+        (list(devices) if devices is not None else jax.devices())[:n_devices],
+        **({"local_size": local_size} if local_size else {}),
+    )
     num_tables, dim, dense_in, L = 5, 8 * n_devices, 13, 2
     rows = [max(64, 16 * n_devices), 50, 40, 30, max(64, 16 * n_devices)]
     B = 2 * n_devices
@@ -73,77 +76,304 @@ def _build_step(n_devices):
     batch = ge._make_batch(num_tables, rows, dense_in, B, L)
     import jax as _j
 
-    state = dmp.init(_j.random.PRNGKey(0), *batch)
+    state = (
+        dmp.init(_j.random.PRNGKey(0), *batch) if do_init else None
+    )
     step = dmp.make_train_step(donate=False, jit=False)
     return step, state, batch, dmp
 
 
-def mode_hlo(n_devices, prefetch=False):
+def _build_bench_step(n_devices, devices=None, do_init=True,
+                      local_size=None, rows=None):
+    """The BENCH config (bench.py shapes: 26 tables x ROWS x 128, B=8192,
+    L=1, the MLPerf dense/over archs) RW-sharded over n_devices — the
+    flagship program whose collectives are big enough for the TPU
+    compiler's async heuristics to engage (the toy config's collectives
+    are a few KB and stay synchronous)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import bench as bench_mod
+    from torchrec_tpu.models import DLRM, DLRMTrain
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.ops.fused_update import EmbOptimType
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rows = rows or bench_mod.ROWS
+    NT, DIM, DENSE_IN, B, L = (
+        bench_mod.NUM_TABLES, bench_mod.DIM, bench_mod.DENSE_IN,
+        bench_mod.B, bench_mod.L,
+    )
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=rows, embedding_dim=DIM,
+                           name=f"t{i}", feature_names=[f"f{i}"])
+        for i in range(NT)
+    )
+    model = DLRMTrain(
+        dlrm=DLRM(
+            embedding_bag_collection=EmbeddingBagCollection(
+                tables=tables, max_feature_length=L
+            ),
+            dense_in_features=DENSE_IN,
+            dense_arch_layer_sizes=(512, 256, DIM),
+            over_arch_layer_sizes=(1024, 1024, 512, 256, 1),
+            dense_dtype=jnp.bfloat16,
+        )
+    )
+    env = ShardingEnv.from_devices(
+        (list(devices) if devices is not None else jax.devices())[:n_devices],
+        **({"local_size": local_size} if local_size else {}),
+    )
+    plan = ShardingPlan({
+        "dlrm/embedding_bag_collection": {
+            f"t{i}": ParameterSharding(ShardingType.ROW_WISE)
+            for i in range(NT)
+        }
+    })
+    dmp = DistributedModelParallel(
+        model, env=env, plan=plan,
+        fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+        fused_params={"learning_rate": 0.1},
+        dense_optimizer=optax.sgd(0.05),
+    )
+    rng = np.random.RandomState(0)
+    feats = [f"f{i}" for i in range(NT)]
+    sb = KeyedJaggedTensor.from_lengths(
+        feats,
+        jnp.asarray(
+            np.concatenate([rng.randint(0, rows, B) for _ in range(NT)])
+            .astype(np.int32)
+        ),
+        jnp.asarray(np.ones((NT * B,), np.int32)),
+    ).to_padded(L)
+    dense = jnp.asarray(rng.randn(B, DENSE_IN).astype(np.float32))
+    labels = jnp.asarray((rng.rand(B) > 0.5).astype(np.float32))
+    batch = (dense, sb, labels)
+    state = dmp.init(jax.random.PRNGKey(0), *batch) if do_init else None
+    step = dmp.make_train_step(donate=False, jit=False)
+    return step, state, batch, dmp
+
+
+def _abstractify(tree, tmesh):
+    """Concrete (CPU-mesh) arrays -> ShapeDtypeStructs carrying the SAME
+    PartitionSpecs re-bound to the abstract TPU topology mesh. Specs
+    transfer because both DMPs are built from the same model + plan, so
+    every leaf's layout is identical by construction."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def f(x):
+        if isinstance(x, (jax.Array, jax.ShapeDtypeStruct)):
+            sh = getattr(x, "sharding", None)
+            spec = (
+                sh.spec if isinstance(sh, NamedSharding)
+                else PartitionSpec()
+            )
+            return jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(tmesh, spec)
+            )
+        return x
+
+    return jax.tree.map(f, tree)
+
+
+def mode_hlo(n_devices, prefetch=False, topology=None, config="toy",
+             rows=None):
+    """topology (e.g. "v5e:2x4"): AOT-compile the SAME n_devices program
+    against an abstract TPU topology (jax.experimental.topologies) — no
+    TPU hardware needed — so the analyzed HLO is the TPU compiler's
+    scheduled form (async start/done pairs + latency-hiding windows),
+    not the CPU backend's synchronous lowering."""
     import jax
 
-    step, state, batch, dmp = _build_step(n_devices)
+    t_local = None
+    if topology:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(topology, "tpu")
+        tdevs = list(topo.devices)
+        if len(tdevs) < n_devices:
+            raise SystemExit(
+                f"topology {topology} has {len(tdevs)} devices < "
+                f"--n_devices {n_devices}"
+            )
+        # the topology may span several real hosts: the CPU twin must be
+        # built with the SAME local_size so the two DMPs agree on host
+        # boundaries (and thus on every table layout / collective group)
+        t_local = sum(
+            1 for d in tdevs[:n_devices]
+            if d.process_index == tdevs[0].process_index
+        )
+    if config == "bench":
+        import functools
+
+        builder = functools.partial(_build_bench_step, rows=rows)
+    else:
+        builder = _build_step
+    step, state, batch, dmp = builder(n_devices, local_size=t_local)
+    if topology:
+        step_t, _, _, dmp_t = builder(
+            n_devices, devices=tdevs, do_init=False, local_size=t_local
+        )
+        tmesh = dmp_t.env.mesh
+        state = _abstractify(state, tmesh)
+        batch = tuple(_abstractify(b, tmesh) for b in batch)
+        step, dmp = step_t, dmp_t
+        print(f"AOT target: {topology} "
+              f"({tdevs[0].device_kind}, first {n_devices} devices)")
     if prefetch:
         # the fused two-batch program: batch i's step + batch i+1's id
         # all_gather with NO dependency between them — the start..done
         # window of the prefetch gathers should span the dense compute
         sb = batch[1]
-        dists = jax.jit(dmp.input_dist)(sb)
+        if topology:
+            dists = jax.eval_shape(dmp.input_dist, sb)
+            dists = _abstractify(dists, dmp.env.mesh)
+        else:
+            dists = jax.jit(dmp.input_dist)(sb)
         pstep = dmp.make_prefetched_train_step(donate=False, jit=False)
         lowered = jax.jit(pstep).lower(state, dists, sb, *batch)
     else:
         lowered = jax.jit(step).lower(state, *batch)
     hlo = lowered.compile().as_text()
+    _analyze_schedule(hlo)
+
+
+def _analyze_schedule(hlo):
+    """Walk the SCHEDULED entry computation (is_scheduled=true: line
+    order IS the schedule) and report, for every async collective, how
+    many instructions the scheduler placed inside its start..done window
+    (= compute hiding the collective's latency). Handles both spellings:
+    opcode pairs (`all-gather-start`/`-done`) and the TPU pipeline's
+    NAMED async fusions (`%async-collective-start... = ... fusion(...)`,
+    whose done consumes the start through get-tuple-elements)."""
     lines = hlo.splitlines()
 
-    # map async start/done pairs by result name: HLO lines read
-    #   %name = TYPE all-gather-start(...), and later
-    #   %other = TYPE all-gather-done(%name)
-    # result types of async starts are TUPLES — '(f32[...], f32[...])'
-    # contains spaces, so match lazily up to the op name
-    start_re = re.compile(
-        r"%?([\w.\-]+)\s*=\s*.*?\s(all-gather-start|all-reduce-start|"
-        r"all-to-all-start|reduce-scatter-start|"
-        r"collective-permute-start|async-start)\b"
-    )
-    done_re = re.compile(
-        r"(all-gather-done|all-reduce-done|all-to-all-done|"
-        r"reduce-scatter-done|collective-permute-done|"
-        r"async-done)\(\s*%?([\w.\-]+)"
-    )
-    pairs = []  # (start_line_idx, done_line_idx, kind)
-    starts = {}
-    for i, ln in enumerate(lines):
-        m = start_re.search(ln)
-        if m:
-            starts[m.group(1)] = (i, m.group(2))
-        dm = done_re.search(ln)
-        if dm and dm.group(2) in starts:
-            si, kind = starts.pop(dm.group(2))
-            pairs.append((si, i, kind))
+    # entry computation slice (fusion subcomputations aren't scheduled)
+    try:
+        e0 = next(i for i, ln in enumerate(lines)
+                  if ln.startswith("ENTRY "))
+    except StopIteration:
+        e0 = 0
+    entry = lines[e0:]
 
-    n_coll = len(
-        [ln for ln in lines
-         if re.search(r"\s(all-gather|all-reduce|all-to-all|"
-                      r"reduce-scatter|collective-permute)[\w\-]*\(", ln)]
+    def_re = re.compile(r"^\s*%?(?P<name>[\w.\-]+)\s*=\s*(?P<rest>.*)$")
+    kind_re = re.compile(
+        r"\b(all-gather|all-reduce|all-to-all|reduce-scatter|"
+        r"collective-permute)(-start|-done)?\b"
     )
-    print(f"optimized HLO: {len(lines)} lines, "
-          f"{n_coll} collective instructions, "
-          f"{len(pairs)} async start/done pairs")
+    label_re = re.compile(r"## ([a-z_0-9]+) ##")
+
+    # fused computations: the TPU pipeline's async fusions
+    # (%async-collective-start = ... fusion(...), calls=%fused_comp.N)
+    # wrap the actual collective inside the called computation — map
+    # each computation name to the collective kind + our ## label ##
+    comp_info = {}
+    comp_name = None
+    for ln in lines:
+        cm = re.match(r"^%?([\w.\-]+)\s+\([^)]*\)\s*->.*\{", ln)
+        if cm:
+            comp_name = cm.group(1)
+            continue
+        if comp_name and kind_re.search(ln):
+            lab = label_re.search(ln)
+            comp_info.setdefault(
+                comp_name,
+                (kind_re.search(ln).group(1),
+                 lab.group(1) if lab else None),
+            )
+
+    defs = {}        # name -> (line_idx, rest)
+    order = []
+    for i, ln in enumerate(entry):
+        m = def_re.match(ln)
+        if not m:
+            continue
+        name = m.group("name")
+        defs[name] = (i, m.group("rest"))
+        order.append(name)
+
+    def _kind_label(name):
+        rest = defs[name][1]
+        km = kind_re.search(rest)
+        lm = label_re.search(rest)
+        if km:
+            return km.group(1), (lm.group(1) if lm else None)
+        callm = re.search(r"calls=%?([\w.\-]+)", rest)
+        if callm and callm.group(1) in comp_info:
+            return comp_info[callm.group(1)]
+        return "collective", (lm.group(1) if lm else None)
+
+    start_suffix = re.compile(r"^(?P<base>.*)-start(?P<suf>\.\d+)?$")
+    pairs = []  # (start_name, done_name, window)
+    paired_dones = set()
+    for n in order:
+        sm = start_suffix.match(n)
+        if sm is None or n.startswith("copy-start"):
+            continue
+        rest = defs[n][1]
+        is_async_fusion = "async" in n and "fusion(" in rest
+        is_opcode_start = re.search(
+            r"\s(all-gather|all-reduce|all-to-all|reduce-scatter|"
+            r"collective-permute|async)[\w\-]*-start\(", rest,
+        )
+        if not (is_async_fusion or is_opcode_start):
+            continue
+        done = f"{sm.group('base')}-done{sm.group('suf') or ''}"
+        if done not in defs:
+            # opcode-style: the done consumes the start by name
+            cand = [
+                d for d in order
+                if d not in paired_dones
+                and re.search(r"-done\(\s*%?" + re.escape(n) + r"\b",
+                              defs[d][1])
+            ]
+            if not cand:
+                continue
+            done = cand[0]
+        si, di = defs[n][0], defs[done][0]
+        if di > si:
+            paired_dones.add(done)
+            pairs.append((n, done, di - si - 1))
+
+    colls = [n for n in order if kind_re.search(defs[n][1])]
+    sync = [n for n in colls
+            if "-start" not in defs[n][1] and "-done" not in defs[n][1]
+            and "-start" not in n and "-done" not in n]
+    colls = sync + [p[0] for p in pairs]
+    print(f"scheduled HLO: {len(lines)} lines, "
+          f"{len(colls)} collective instructions "
+          f"({len(pairs)} async pairs, {len(sync)} synchronous)")
     if not pairs:
-        print("NO async collective pairs found — collectives are "
-              "synchronous in this HLO (CPU backend lowers collectives "
-              "synchronously; rerun on TPU for the scheduled form).")
-        return
+        print("NO async collective pairs — every collective is "
+              "synchronous in this schedule (expected on the CPU "
+              "backend; on TPU it means the collectives were too small "
+              "for the async heuristics).")
     windows = []
-    for si, di, kind in pairs:
-        between = di - si - 1
-        windows.append(between)
-        print(f"  {kind}: {between} instructions scheduled inside the "
-              "start..done window")
-    print(f"median overlap window: {int(np.median(windows))} "
-          "instructions — nonzero windows mean XLA hides collective "
-          "latency behind compute, the TPU-native replacement for the "
-          "reference's comms stream")
+    for s, d, w in pairs:
+        windows.append(w)
+        kind, lab = _kind_label(s)
+        print(f"  async {kind}{' [' + lab + ']' if lab else ''}: "
+              f"{w} instructions inside the start..done window")
+    if windows:
+        print(f"median overlap window: {int(np.median(windows))} "
+              "instructions — nonzero windows mean XLA hides collective "
+              "latency behind compute, the TPU-native replacement for "
+              "the reference's comms stream")
+    for n in sync:
+        kind, lab = _kind_label(n)
+        print(f"  sync {kind}{' [' + lab + ']' if lab else ''}")
 
 
 def mode_trace(steps=20):
@@ -196,9 +426,26 @@ def main():
         "--prefetch", action="store_true",
         help="analyze the prefetched (fused two-batch) step instead",
     )
+    p.add_argument(
+        "--topology", default=None,
+        help="AOT-compile for an abstract TPU topology (e.g. v5e:2x4) "
+             "— TPU-scheduled HLO without TPU hardware",
+    )
+    p.add_argument(
+        "--config", choices=["toy", "bench"], default="toy",
+        help="toy: small mixed-sharding model; bench: the bench.py "
+             "flagship shapes (26x100k x128 RW, B=8192)",
+    )
+    p.add_argument(
+        "--rows", type=int, default=None,
+        help="override rows/table for --config bench (e.g. 700000 = the "
+             "HBM-scale suite)",
+    )
     args = p.parse_args()
     if args.mode == "hlo":
-        mode_hlo(args.n_devices, prefetch=args.prefetch)
+        mode_hlo(args.n_devices, prefetch=args.prefetch,
+                 topology=args.topology, config=args.config,
+                 rows=args.rows)
     else:
         mode_trace()
 
