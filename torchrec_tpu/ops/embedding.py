@@ -65,8 +65,10 @@ def _use_pallas(dtype, D: int, L: int, impl: str = "auto") -> bool:
         return (
             jax.default_backend() == "tpu"
             and dtype == jnp.float32
-            # lane slices into the row scratch must stay 128-aligned
-            and (L == 1 or D % 128 == 0)
+            # wave size max(8, 256 // L) * L must stay within the 256
+            # DMA-semaphore budget (sflag overflow measured at 512 on
+            # v5e) -> at the TB=8 bag floor that bounds L at 32
+            and L <= 32
         )
     return False
 

@@ -143,37 +143,39 @@ gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 def _lookup_kernel(
     ids_ref, w_hbm, coeff_ref, out_ref, scratch, sems, *, TB, L, D
 ):
+    # scratch is (T, D) with one row per (bag, slot) DMA — single-row
+    # dynamic sublane slices (`scratch.at[t]`) are the Mosaic-safe form;
+    # a (TB, L*D) layout with dynamic partial-lane slices fails tiling
+    # alignment (slice sublane dim 1 % 8 != 0) on v5e.
     T = TB * L
     base = pl.program_id(0) * T
 
     def start(t, _):
-        tb = t // L
-        l = t % L
         pltpu.make_async_copy(
-            w_hbm.at[ids_ref[base + t]],
-            scratch.at[tb, pl.ds(l * D, D)],
-            sems.at[t],
+            w_hbm.at[ids_ref[base + t]], scratch.at[t], sems.at[t]
         ).start()
         return _
 
     jax.lax.fori_loop(0, T, start, None)
 
     def wait(t, _):
-        tb = t // L
-        l = t % L
         pltpu.make_async_copy(
-            w_hbm.at[ids_ref[base + t]],
-            scratch.at[tb, pl.ds(l * D, D)],
-            sems.at[t],
+            w_hbm.at[ids_ref[base + t]], scratch.at[t], sems.at[t]
         ).wait()
         return _
 
     jax.lax.fori_loop(0, T, wait, None)
 
-    acc = scratch[:, 0:D] * coeff_ref[:, 0:1]
-    for l in range(1, L):
-        acc = acc + scratch[:, l * D : (l + 1) * D] * coeff_ref[:, l : l + 1]
-    out_ref[:] = acc
+    # Pooled reduction on the MXU: scale each fetched row by its slot
+    # coefficient (coeff_ref is the bag-major (T, 1) column for this
+    # step), then sum rows per bag via a 0/1 bag-selection matmul.
+    tb_iota = jax.lax.broadcasted_iota(jnp.int32, (TB, T), 0)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (TB, T), 1)
+    sel = ((t_iota // L) == tb_iota).astype(scratch.dtype)
+    contrib = scratch[:] * coeff_ref[:]
+    out_ref[:] = jnp.dot(
+        sel, contrib, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
 
 
 def _tbe_lookup_impl(
@@ -190,6 +192,11 @@ def _tbe_lookup_impl(
     if NBp != NB:
         ids = jnp.pad(ids, ((0, NBp - NB), (0, 0)))
         coeff = jnp.pad(coeff, ((0, NBp - NB), (0, 0)))
+    # coeff flattens bag-major to a (NBp * L, 1) column so step i's block
+    # is rows [i*T, (i+1)*T) — one coefficient per flat DMA slot. The
+    # trailing singleton keeps the block's last dim equal to the array's
+    # (the Pallas TPU block-shape divisibility rule).
+    coeff_steps = coeff.astype(weights.dtype).reshape(NBp * L, 1)
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, TB=TB, L=L, D=D),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -198,20 +205,22 @@ def _tbe_lookup_impl(
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (TB, L), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                    (TB * L, 1),
+                    lambda i, ids: (i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (TB, D), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((TB, L * D), weights.dtype),
+                pltpu.VMEM((TB * L, D), weights.dtype),
                 pltpu.SemaphoreType.DMA((TB * L,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NBp, D), weights.dtype),
         interpret=interpret,
-    )(ids.reshape(-1), weights, coeff.astype(weights.dtype))
+    )(ids.reshape(-1), weights, coeff_steps)
     return out[:NB] if NBp != NB else out
 
 
@@ -866,7 +875,7 @@ def fused_update_adam(
     R, D = weights.shape
     uids, g, Np = _pad_wave(uids, g, T)
     lr2 = jnp.full((1, 1), lr, weights.dtype)
-    t = step.astype(weights.dtype)
+    t = jnp.asarray(step).astype(weights.dtype)
     bc = jnp.stack(
         [1.0 / (1.0 - beta1**t), 1.0 / (1.0 - beta2**t)]
     ).reshape(1, 2).astype(weights.dtype)
