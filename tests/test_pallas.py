@@ -372,3 +372,27 @@ def test_mom_stream_through_dmp_sharded_update(monkeypatch):
     np.testing.assert_allclose(loss_s, loss_x, rtol=1e-5)
     for k in w_x:
         np.testing.assert_allclose(w_s[k], w_x[k], rtol=1e-5, atol=1e-6)
+
+
+def test_tbe_lookup_wave_budget_raises(weights, rng):
+    # L > 32 exceeds the 256 DMA-semaphore budget at the TB=8 sublane
+    # floor (v5e sflag overflow at 512) — actionable error, not a Mosaic
+    # lowering failure
+    L = 40
+    ids = jnp.asarray(rng.randint(0, R, size=(8, L)), jnp.int32)
+    coeff = jnp.asarray(rng.rand(8, L).astype(np.float32))
+    with pytest.raises(ValueError, match="semaphore budget"):
+        pe.tbe_lookup_pooled(weights, ids, coeff, interpret=True)
+
+
+@pytest.mark.parametrize("L", [5, 20])
+def test_tbe_lookup_sublane_aligned_tb(weights, rng, L):
+    # non-power-of-two L: TB = 8-aligned max(8, 256//L) keeps the out
+    # (TB, D) and coeff (TB*L, 1) blocks sublane-aligned; parity over a
+    # batch spanning several grid steps
+    NB = 3 * max(8, (256 // L) // 8 * 8) + 7  # unaligned tail too
+    ids = jnp.asarray(rng.randint(0, R, size=(NB, L)), jnp.int32)
+    coeff = jnp.asarray(rng.rand(NB, L).astype(np.float32))
+    out = pe.tbe_lookup_pooled(weights, ids, coeff, interpret=True)
+    ref = jnp.einsum("nld,nl->nd", weights[ids], coeff)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -349,3 +349,23 @@ def test_export_ec_uses_embeddings_attr():
     assert set(out) == {
         "a.ebc.embedding_bags.w1.weight", "b.ec.embeddings.w2.weight"
     }
+
+
+def test_import_bf16_checkpoint(dmp_state):
+    # reference checkpoints trained in bf16: .numpy() raises on bf16
+    # torch tensors, so the importer must upcast before converting
+    dmp, state = dmp_state
+    sd = {
+        k: (v.to(torch.bfloat16) if v.ndim == 2 and "embedding_bags" in k
+            else v)
+        for k, v in _torch_sd().items()
+    }
+    new_state, report = import_torch_state_dict(dmp, state, sd)
+    assert report.num_tables == 3
+    got = dmp.state_dict(new_state)
+    key = next(k for k in got if k.startswith("embeddings/"))
+    want = sd[
+        "model.sparse_arch.embedding_bag_collection.embedding_bags"
+        ".t0.weight"
+    ].float().numpy()
+    np.testing.assert_allclose(got[key]["t0"], want, rtol=2e-2, atol=2e-2)

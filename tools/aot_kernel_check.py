@@ -54,11 +54,20 @@ def main(topology="v5e:2x2", rows=2_600_000, n_ids=212_992, dim=128):
     cases["gather_rows"] = (
         lambda w, ids: pe.gather_rows(w, ids, interpret=False), (w, ids)
     )
-    NB, L = 8192, 8
-    cases["tbe_lookup_pooled"] = (
-        lambda w, i2, c: pe.tbe_lookup_pooled(w, i2, c, interpret=False),
-        (w, sds((NB, L), jnp.int32), sds((NB, L), jnp.float32)),
-    )
+    # L sweep: power-of-two, non-power-of-two (TB = 8-aligned 256//L —
+    # the Mosaic sublane-misalignment class), and the L=32 budget edge.
+    # NB is capped to the SMEM ids-prefetch budget per L (the checker
+    # found the 1MB SMEM RESOURCE_EXHAUSTED at NB=8192, L=32).
+    for L in (8, 3, 5, 20, 32):
+        TB = max(8, (256 // L) // 8 * 8)
+        NB = min(8192, pe._SMEM_IDS_BYTES // (4 * L) // TB * TB)
+        assert pe.tbe_lookup_fits(NB, L), (NB, L)
+        cases[f"tbe_lookup_pooled[L={L},NB={NB}]"] = (
+            lambda w, i2, c: pe.tbe_lookup_pooled(
+                w, i2, c, interpret=False
+            ),
+            (w, sds((NB, L), jnp.int32), sds((NB, L), jnp.float32)),
+        )
     cases["fused_update_sgd"] = (
         lambda w, ids, g, lr: pe.fused_update_sgd(
             w, ids, g, lr, interpret=False

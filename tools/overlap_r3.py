@@ -215,20 +215,70 @@ def mode_hlo(n_devices, prefetch=False, topology=None, config="toy",
             1 for d in tdevs[:n_devices]
             if d.process_index == tdevs[0].process_index
         )
-    if config == "bench":
-        import functools
+    import functools
 
+    if config == "bench":
         builder = functools.partial(_build_bench_step, rows=rows)
     else:
         builder = _build_step
-    step, state, batch, dmp = builder(n_devices, local_size=t_local)
+
+    # PartitionSpecs depend only on the plan, never on table rows — when
+    # AOT-targeting a topology at bench/HBM scale, read the specs off a
+    # SMALL concrete twin and take full-rows shapes from eval_shape, so
+    # the host never materializes GB-scale tables it immediately discards.
+    shrink = bool(topology) and config == "bench"
+    spec_builder = (
+        functools.partial(_build_bench_step, rows=2048) if shrink
+        else builder
+    )
+    step, state, batch, dmp = spec_builder(n_devices, local_size=t_local)
+    # concrete dists carry the REAL output NamedShardings of the jitted
+    # input_dist (plain eval_shape would drop them -> silently-replicated
+    # prefetch inputs and a different collective schedule than the
+    # pipeline actually runs); shapes don't depend on table rows
+    dists = jax.jit(dmp.input_dist)(batch[1]) if prefetch else None
+    state_abs = None
+    if shrink:
+        _, _, batch_full, dmp_full = builder(
+            n_devices, local_size=t_local, do_init=False
+        )
+        try:
+            state_abs = jax.eval_shape(
+                dmp_full.init, jax.random.PRNGKey(0), *batch_full
+            )
+            batch = batch_full
+        except Exception as e:  # init not traceable -> concrete fallback
+            print(f"eval_shape(init) failed ({e!r}); materializing "
+                  f"full-rows state concretely")
+            step, state, batch, dmp = builder(
+                n_devices, local_size=t_local
+            )
+            dists = jax.jit(dmp.input_dist)(batch[1]) if prefetch else None
     if topology:
+        from jax.sharding import NamedSharding, PartitionSpec
+
         step_t, _, _, dmp_t = builder(
             n_devices, devices=tdevs, do_init=False, local_size=t_local
         )
         tmesh = dmp_t.env.mesh
-        state = _abstractify(state, tmesh)
+        if state_abs is not None:
+            def _spec(c):
+                sh = getattr(c, "sharding", None)
+                return (sh.spec if isinstance(sh, NamedSharding)
+                        else PartitionSpec())
+
+            state = jax.tree.map(
+                lambda a, c: jax.ShapeDtypeStruct(
+                    a.shape, a.dtype,
+                    sharding=NamedSharding(tmesh, _spec(c)),
+                ),
+                state_abs, state,
+            )
+        else:
+            state = _abstractify(state, tmesh)
         batch = tuple(_abstractify(b, tmesh) for b in batch)
+        if dists is not None:
+            dists = _abstractify(dists, tmesh)
         step, dmp = step_t, dmp_t
         print(f"AOT target: {topology} "
               f"({tdevs[0].device_kind}, first {n_devices} devices)")
@@ -237,16 +287,18 @@ def mode_hlo(n_devices, prefetch=False, topology=None, config="toy",
         # all_gather with NO dependency between them — the start..done
         # window of the prefetch gathers should span the dense compute
         sb = batch[1]
-        if topology:
-            dists = jax.eval_shape(dmp.input_dist, sb)
-            dists = _abstractify(dists, dmp.env.mesh)
-        else:
-            dists = jax.jit(dmp.input_dist)(sb)
         pstep = dmp.make_prefetched_train_step(donate=False, jit=False)
         lowered = jax.jit(pstep).lower(state, dists, sb, *batch)
     else:
         lowered = jax.jit(step).lower(state, *batch)
     hlo = lowered.compile().as_text()
+    import os
+
+    dump = os.environ.get("OVERLAP_R3_DUMP")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(hlo)
+        print(f"scheduled HLO dumped to {dump}")
     _analyze_schedule(hlo)
 
 
@@ -282,7 +334,8 @@ def _analyze_schedule(hlo):
     comp_info = {}
     comp_name = None
     for ln in lines:
-        cm = re.match(r"^%?([\w.\-]+)\s+\([^)]*\)\s*->.*\{", ln)
+        # greedy param-list match: tuple-typed parameters nest parens
+        cm = re.match(r"^%?([\w.\-]+)\s+\(.*\)\s*->.*\{", ln)
         if cm:
             comp_name = cm.group(1)
             continue
@@ -330,27 +383,43 @@ def _analyze_schedule(hlo):
         )
         if not (is_async_fusion or is_opcode_start):
             continue
-        done = f"{sm.group('base')}-done{sm.group('suf') or ''}"
-        if done not in defs:
-            # opcode-style: the done consumes the start by name
-            cand = [
-                d for d in order
-                if d not in paired_dones
-                and re.search(r"-done\(\s*%?" + re.escape(n) + r"\b",
-                              defs[d][1])
-            ]
-            if not cand:
-                continue
+        # Pair by CONSUMPTION first: HLO uniquifies -start and -done name
+        # counters independently, so `foo-start.1`/`foo-done.1` can belong
+        # to different collectives when pairs interleave. Name-suffix
+        # pairing is the fallback for the TPU pipeline's named async
+        # fusions, whose done reaches the start through gte chains /
+        # threaded in-flight buffers rather than as a direct operand.
+        cand = [
+            d for d in order
+            if d not in paired_dones
+            and re.search(r"-done(\.\d+)?\(\s*%?" + re.escape(n)
+                          + r"\b", defs[d][1])
+        ]
+        if cand:
             done = cand[0]
+        else:
+            done = f"{sm.group('base')}-done{sm.group('suf') or ''}"
+            if done not in defs or done in paired_dones:
+                continue
         si, di = defs[n][0], defs[done][0]
         if di > si:
             paired_dones.add(done)
             pairs.append((n, done, di - si - 1))
 
-    colls = [n for n in order if kind_re.search(defs[n][1])]
-    sync = [n for n in colls
-            if "-start" not in defs[n][1] and "-done" not in defs[n][1]
-            and "-start" not in n and "-done" not in n]
+    # census by CALL position only ("<shape> all-reduce(" ...): a plain
+    # kind_re.search over the full rest also matches operand NAMES
+    # (`multiply(%all-reduce.3, ...)`), counting every consumer of a
+    # collective as another collective
+    call_re = re.compile(
+        r"\s(all-gather|all-reduce|all-to-all|reduce-scatter|"
+        r"collective-permute)(-start|-done)?\("
+    )
+    calls = {}
+    for n in order:
+        m = call_re.search(" " + defs[n][1])
+        if m:
+            calls[n] = m
+    sync = [n for n, m in calls.items() if m.group(2) is None]
     colls = sync + [p[0] for p in pairs]
     print(f"scheduled HLO: {len(lines)} lines, "
           f"{len(colls)} collective instructions "

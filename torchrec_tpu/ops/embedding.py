@@ -49,7 +49,7 @@ class PoolingMode(enum.Enum):
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas(dtype, D: int, L: int, impl: str = "auto") -> bool:
+def _use_pallas(dtype, L: int, impl: str = "auto") -> bool:
     """Measured on v5e (tools/bench_kernels.py, 213k rows of D=128 f32):
     XLA's native gather runs at ~8.6 ns/row and scatter at ~26 ns/row —
     both dispatch-bound, not bandwidth-bound. The Pallas DMA-wave kernels
@@ -65,9 +65,10 @@ def _use_pallas(dtype, D: int, L: int, impl: str = "auto") -> bool:
         return (
             jax.default_backend() == "tpu"
             and dtype == jnp.float32
-            # wave size max(8, 256 // L) * L must stay within the 256
-            # DMA-semaphore budget (sflag overflow measured at 512 on
-            # v5e) -> at the TB=8 bag floor that bounds L at 32
+            # wave size TB*L (TB = 8-aligned max(8, 256 // L)) must stay
+            # within the 256 DMA-semaphore budget (sflag overflow
+            # measured at 512 on v5e) -> at the TB=8 bag floor that
+            # bounds L at 32
             and L <= 32
         )
     return False
@@ -86,13 +87,19 @@ def pooled_lookup(
     lead = ids.shape[:-1]
     L = ids.shape[-1]
     D = weights.shape[1]
-    if _use_pallas(weights.dtype, D, L, impl):
+    if _use_pallas(weights.dtype, L, impl):
         from torchrec_tpu.ops import pallas_embedding as pe
 
-        out = pe.tbe_lookup_pooled(
-            weights, ids.reshape(-1, L), coeff.reshape(-1, L)
-        )
-        return out.reshape(*lead, D)
+        NB = 1
+        for s in lead:
+            NB *= s
+        # batch-dependent budget: the flat ids array is scalar-prefetched
+        # into SMEM, so big NB*L batches must take the XLA path
+        if pe.tbe_lookup_fits(NB, L):
+            out = pe.tbe_lookup_pooled(
+                weights, ids.reshape(-1, L), coeff.reshape(-1, L)
+            )
+            return out.reshape(*lead, D)
     rows = weights[ids.reshape(-1)].reshape(*lead, L, D)
     # low-precision tables (bf16/fp16) pool with fp32 accumulation and
     # return fp32 (ref: fbgemm output_dtype defaults to FP32)
@@ -111,7 +118,7 @@ def pooled_lookup(
 
 def lookup_rows(weights: Array, flat_ids: Array, impl: str = "auto") -> Array:
     """Row gather W[flat_ids] -> [N, D] (the PoolingMode.NONE path)."""
-    if _use_pallas(weights.dtype, weights.shape[1], 1, impl):
+    if _use_pallas(weights.dtype, 1, impl):
         from torchrec_tpu.ops import pallas_embedding as pe
 
         return pe.gather_rows(weights, flat_ids)

@@ -287,7 +287,7 @@ def apply_fused_update(
         and jax.default_backend() == "tpu"  # interpret mode has no DMA win
     )
     if (
-        _use_pallas(weights.dtype, weights.shape[1], 1) or auto_pallas
+        _use_pallas(weights.dtype, 1) or auto_pallas
     ) and optim_supports_pallas(opt_state.optim):
         uids_c, g_c = dedup_row_grads(flat_ids, row_grads, valid, R)
         return _apply_fused_update_pallas(

@@ -43,6 +43,10 @@ Array = jax.Array
 # Max in-flight row DMAs per grid step. 512 semaphores exceeded a Mosaic
 # limit on v5e; 256 compiles and keeps the DMA queues saturated.
 _MAX_WAVE = 256
+# scalar-prefetch SMEM budget for id arrays: v5e SMEM is 1MB total and
+# Mosaic RESOURCE_EXHAUSTEDs just past ~832KB of prefetched ids (other
+# scoped scalars take the rest; measured via tools/aot_kernel_check.py)
+_SMEM_IDS_BYTES = 832 * 1024
 
 
 def _auto_interpret(interpret: Optional[bool]) -> bool:
@@ -178,6 +182,15 @@ def _lookup_kernel(
     ).astype(out_ref.dtype)
 
 
+def tbe_lookup_fits(NB: int, L: int) -> bool:
+    """True iff tbe_lookup_pooled's wave + SMEM budgets admit (NB, L)."""
+    TB = max(8, (_MAX_WAVE // L) // 8 * 8)
+    if TB * L > _MAX_WAVE:
+        return False
+    NBp = -(-NB // TB) * TB
+    return NBp * L * 4 <= _SMEM_IDS_BYTES
+
+
 def _tbe_lookup_impl(
     weights: Array,
     flat_ids: Array,  # [NB, L] pre-offset global rows
@@ -186,8 +199,26 @@ def _tbe_lookup_impl(
 ) -> Array:
     NB, L = flat_ids.shape
     D = weights.shape[1]
-    TB = max(8, _MAX_WAVE // L)
+    # Bags per grid step: a multiple of 8 (Mosaic sublane alignment for
+    # the (TB, D) out block and the (TB*L, 1) coeff block) whose wave
+    # T = TB*L stays within the DMA-semaphore budget (sflag overflow
+    # measured at 512 descriptors on v5e -> budget 256).
+    TB = max(8, (_MAX_WAVE // L) // 8 * 8)
+    if TB * L > _MAX_WAVE:
+        raise ValueError(
+            f"tbe_lookup_pooled: L={L} needs a {TB * L}-descriptor DMA "
+            f"wave at the TB=8 sublane floor, over the {_MAX_WAVE} "
+            "semaphore budget (v5e sflag overflow at 512). Use the XLA "
+            "path (TORCHREC_TPU_EMB_IMPL=xla) for L > 32."
+        )
     NBp = -(-NB // TB) * TB
+    if NBp * L * 4 > _SMEM_IDS_BYTES:
+        raise ValueError(
+            f"tbe_lookup_pooled: scalar-prefetched ids take "
+            f"{NBp * L * 4} bytes of SMEM, over the {_SMEM_IDS_BYTES} "
+            "budget (v5e SMEM is 1MB total; Mosaic RESOURCE_EXHAUSTED "
+            "past ~832KB). Split the batch or use the XLA path."
+        )
     ids = jnp.clip(flat_ids, 0, weights.shape[0] - 1)
     if NBp != NB:
         ids = jnp.pad(ids, ((0, NBp - NB), (0, 0)))

@@ -42,8 +42,15 @@ _TABLE_KEY_RE = re.compile(
 def _to_numpy(v: Any) -> np.ndarray:
     """torch.Tensor / np.ndarray / array-like -> float32 numpy."""
     if hasattr(v, "detach"):  # torch.Tensor without importing torch
-        v = v.detach().cpu().numpy()
+        # .float() first: bf16/fp16 tensors raise on .numpy(), and we
+        # return float32 regardless
+        v = v.detach().cpu().float().numpy()
     return np.asarray(v, np.float32)
+
+
+def _ndim(v: Any) -> int:
+    """Rank without materializing a converted copy."""
+    return int(getattr(v, "ndim", None) or np.asarray(v).ndim)
 
 
 def _load_mapping(sd: Any) -> Mapping[str, Any]:
@@ -128,14 +135,14 @@ def import_torch_state_dict(
     never touched — they are architecture-specific; the report lists them
     so a migration script can map them explicitly.
     """
-    by_prefix = extract_tables(sd)
+    mapping = _load_mapping(sd)  # load once; extract_tables passes it through
+    by_prefix = extract_tables(mapping)
     if not by_prefix:
         raise ValueError(
             "no embedding tables found in the state dict (expected keys "
             "matching '...embedding_bags.<table>.weight' or "
             "'...embeddings.<table>.weight')"
         )
-    mapping = _load_mapping(sd)
     table_keys = {
         f"{p}.{t}" if p else t for p, ts in by_prefix.items() for t in ts
     }
@@ -201,7 +208,7 @@ def import_torch_state_dict(
         m = _TABLE_KEY_RE.match(k)
         if m is None:
             report.skipped_keys.append(k)
-        elif _to_numpy(mapping[k]).ndim != 2:
+        elif _ndim(mapping[k]) != 2:
             report.skipped_keys.append(k)
 
     if strict and not to_load:
