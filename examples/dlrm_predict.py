@@ -55,6 +55,15 @@ def parse_args(argv):
                         "micro-batching queue (BatchingPredictServer) "
                         "instead of pre-batched calls — the reference's "
                         "serving-tier batching analogue")
+    p.add_argument("--serve_native", action="store_true",
+                   help="serve through the C++ batching queue + TCP "
+                        "front (csrc/serving_queue.cpp) — the native "
+                        "analogue of the reference's "
+                        "inference/server.cpp + BatchingQueue.cpp; "
+                        "clients speak the TRS1 wire protocol over "
+                        "localhost TCP")
+    p.add_argument("--serve_port", type=int, default=0,
+                   help="TCP port for --serve_native (0 = ephemeral)")
     return p.parse_args(argv)
 
 
@@ -195,6 +204,85 @@ def main(argv: Optional[List[str]] = None) -> dict:
         dense = jnp.asarray(rng.randn(B, INT_FEATURE_COUNT).astype(np.float32))
         labels = jnp.zeros((B,), jnp.float32)
         return dense, sb, labels
+
+    if args.serve_native:
+        # C++ queue + TCP front: collation/demux/wire all native; Python
+        # is only the jitted-predict executor (ref server.cpp role)
+        from torchrec_tpu.inference.native_batching import (
+            NativePredictServer,
+            PredictClient,
+        )
+        from torchrec_tpu.sparse import PaddedSparseBatch
+
+        def native_predict(dense, ids):
+            sb = PaddedSparseBatch(
+                ids=jnp.asarray(ids),
+                lengths=jnp.ones((F, B), jnp.int32),
+                keys=keys,
+            )
+            _, (_, logits, _) = module.predict(
+                jnp.asarray(dense), sb, jnp.zeros((B,), jnp.float32)
+            )
+            return logits
+
+        srv = NativePredictServer(
+            native_predict, B, INT_FEATURE_COUNT, F, 1,
+            max_latency_s=0.002,
+        )
+        port = srv.serve_tcp(args.serve_port)
+        print(f"native TCP predict server on 127.0.0.1:{port}")
+        cli = PredictClient(port)
+
+        def ragged_np():
+            nr = rng.randint(1, max(2, B // 4))
+            return (
+                rng.randn(nr, INT_FEATURE_COUNT).astype(np.float32),
+                np.stack(
+                    [rng.randint(0, rows[i], (nr, 1)) for i in range(F)]
+                ).astype(np.int32),
+            )
+
+        warm = cli.predict(*ragged_np())  # compile
+        cli.close()
+
+        # concurrent connections, as a serving tier sees them (a single
+        # serial client would measure round-trip latency, not throughput)
+        import threading
+
+        counts = []
+        reqs = [ragged_np() for _ in range(args.num_requests)]
+
+        def client(lo, hi):
+            c = PredictClient(port)
+            got = sum(c.predict(*reqs[i]).shape[0] for i in range(lo, hi))
+            c.close()
+            counts.append(got)
+
+        n_cli = min(8, args.num_requests)
+        per = args.num_requests // n_cli
+        t0 = time.perf_counter()
+        ts = [
+            threading.Thread(
+                target=client,
+                args=(k * per,
+                      (k + 1) * per if k < n_cli - 1 else args.num_requests),
+            )
+            for k in range(n_cli)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        dt = time.perf_counter() - t0
+        n = sum(counts)
+        srv.stop()
+        qps = args.num_requests / dt
+        print(
+            f"native-served {args.num_requests} ragged TCP requests "
+            f"(server batch {B}): {qps:.1f} req/s, "
+            f"{n / dt:,.0f} predictions/s, warm_n={warm.shape[0]}"
+        )
+        return {"qps": qps, "predictions_per_sec": n / dt}
 
     if args.serve_batching:
         # ragged client requests -> static server batch via the

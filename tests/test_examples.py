@@ -147,6 +147,22 @@ def test_dlrm_predict_serving_smoke(tmp_path):
     ])
     assert r["qps"] > 0 and r["predictions_per_sec"] > 0
 
+    from torchrec_tpu.inference.native_batching import (
+        native_serving_available,
+    )
+
+    if native_serving_available():
+        # same package through the C++ queue + TCP front
+        r = predict_main([
+            "--package_dir", pkg, "--world_size", "4",
+            "--batch_size", "32", "--num_requests", "6",
+            "--embedding_dim", "16",
+            "--dense_arch_layer_sizes", "16,16",
+            "--over_arch_layer_sizes", "16,1",
+            "--serve_native",
+        ])
+        assert r["qps"] > 0 and r["predictions_per_sec"] > 0
+
 
 def test_dlrm_main_synthetic_criteo_smoke():
     from examples.dlrm_main import main
