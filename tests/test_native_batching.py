@@ -201,6 +201,34 @@ def test_tcp_concurrent_connections():
         srv.stop()
 
 
+def test_stop_with_open_idle_connection_returns():
+    # an idle client parked in the server's recv() must not deadlock
+    # stop(): srv_stop shuts the handler sockets down before joining
+    srv = _server()
+    try:
+        port = srv.serve_tcp(0)
+        cli = PredictClient(port)
+        rng = np.random.RandomState(6)
+        d, i = _req(rng, 2)
+        cli.predict(d, i)  # connection now idle but OPEN
+        t0 = time.monotonic()
+        srv.stop()
+        assert time.monotonic() - t0 < 5.0
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_second_serve_tcp_rejected():
+    srv = _server()
+    try:
+        srv.serve_tcp(0)
+        with pytest.raises(RuntimeError, match="already started"):
+            srv.serve_tcp(0)
+    finally:
+        srv.stop()
+
+
 def test_matches_python_batcher_on_jitted_quant_dlrm():
     """e2e: the native server and the Python BatchingPredictServer serve
     the SAME jitted int8 DLRM and must return identical predictions."""

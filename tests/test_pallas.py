@@ -385,11 +385,12 @@ def test_tbe_lookup_wave_budget_raises(weights, rng):
         pe.tbe_lookup_pooled(weights, ids, coeff, interpret=True)
 
 
-@pytest.mark.parametrize("L", [5, 20])
+@pytest.mark.parametrize("L", [1, 5, 20])
 def test_tbe_lookup_sublane_aligned_tb(weights, rng, L):
-    # non-power-of-two L: TB = 8-aligned max(8, 256//L) keeps the out
-    # (TB, D) and coeff (TB*L, 1) blocks sublane-aligned; parity over a
-    # batch spanning several grid steps
+    # L=1: the kernel's matmul-free copy path (bag-select would be an
+    # identity). non-power-of-two L: TB = 8-aligned max(8, 256//L) keeps
+    # the out (TB, D) and coeff (TB*L, 1) blocks sublane-aligned; parity
+    # over a batch spanning several grid steps
     NB = 3 * max(8, (256 // L) // 8 * 8) + 7  # unaligned tail too
     ids = jnp.asarray(rng.randint(0, R, size=(NB, L)), jnp.int32)
     coeff = jnp.asarray(rng.rand(NB, L).astype(np.float32))

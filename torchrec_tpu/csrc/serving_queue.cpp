@@ -91,6 +91,7 @@ struct Server {
   std::thread listener;
   std::mutex conn_mu;
   std::vector<std::thread> conns;
+  std::vector<int> conn_fds;  // open handler sockets, for stop()
 };
 
 Server* S(void* h) { return static_cast<Server*>(h); }
@@ -328,7 +329,13 @@ int srv_cancel(void* h, int64_t req_id) {
       return 0;
     }
   }
-  r->state = Request::CANCELLED;  // reaped by srv_complete/fail
+  if (r->state == Request::PENDING) {
+    r->state = Request::CANCELLED;  // in flight: reaped by complete/fail
+  } else {
+    // result/error already landed (its batch left `inflight`): nothing
+    // will visit this request again — reap it here or it leaks in live
+    reap_locked(s, r);
+  }
   return 0;
 }
 
@@ -414,7 +421,7 @@ void handle_conn(Server* s, int fd) {
     char err[256] = {0};
     int got = srv_wait(s, rid, out.data(), 60'000'000, err, sizeof(err));
     if (got < 0) {
-      srv_cancel(s, rid);
+      if (got == -1) srv_cancel(s, rid);  // timeout: request still live
       if (!send_err(fd, got == -2 ? err : "predict timeout")) break;
       continue;
     }
@@ -422,6 +429,15 @@ void handle_conn(Server* s, int fd) {
     if (!write_full(fd, &rh, sizeof(rh)) ||
         !write_full(fd, out.data(), (size_t)got * s->R * sizeof(float))) {
       break;
+    }
+  }
+  {
+    std::lock_guard<std::mutex> g(s->conn_mu);
+    for (auto it = s->conn_fds.begin(); it != s->conn_fds.end(); ++it) {
+      if (*it == fd) {
+        s->conn_fds.erase(it);
+        break;
+      }
     }
   }
   ::close(fd);
@@ -433,6 +449,7 @@ void handle_conn(Server* s, int fd) {
 // port, or -1 on error. Stops (listener + handlers joined) via srv_stop.
 int srv_serve_tcp(void* h, int port) {
   Server* s = S(h);
+  if (s->listener.joinable()) return -2;  // one listener per server
   int fd = ::socket(AF_INET, SOCK_STREAM, 0);
   if (fd < 0) return -1;
   int one = 1;
@@ -454,6 +471,7 @@ int srv_serve_tcp(void* h, int port) {
       int cfd = ::accept(fd, nullptr, nullptr);
       if (cfd < 0) return;  // listener closed by srv_stop
       std::lock_guard<std::mutex> g(s->conn_mu);
+      s->conn_fds.push_back(cfd);
       s->conns.emplace_back([s, cfd] { handle_conn(s, cfd); });
     }
   });
@@ -486,6 +504,10 @@ void srv_stop(void* h) {
   {
     std::lock_guard<std::mutex> g(s->conn_mu);
     conns.swap(s->conns);
+    // unblock handlers parked in recv() on idle client connections —
+    // without this, joining below deadlocks while any client stays open
+    for (int fd : s->conn_fds) ::shutdown(fd, SHUT_RDWR);
+    s->conn_fds.clear();
   }
   for (auto& t : conns) {
     if (t.joinable()) t.join();
@@ -495,9 +517,13 @@ void srv_stop(void* h) {
 void srv_destroy(void* h) {
   Server* s = S(h);
   srv_stop(h);
-  std::lock_guard<std::mutex> g(s->mu);
-  for (auto& [_, r] : s->live) delete r;
-  s->live.clear();
+  {
+    // scope the guard: deleting s while it holds s->mu would destroy a
+    // locked mutex and then unlock freed memory
+    std::lock_guard<std::mutex> g(s->mu);
+    for (auto& [_, r] : s->live) delete r;
+    s->live.clear();
+  }
   delete s;
 }
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -54,22 +53,13 @@ def _native_parser() -> Optional[ctypes.CDLL]:
     global _NATIVE
     if _NATIVE is not None:
         return _NATIVE
-    src = os.path.join(os.path.dirname(__file__), "..", "csrc",
-                       "criteo_parser.cpp")
-    src = os.path.abspath(src)
-    build_dir = os.path.join(os.path.dirname(src), "_build")
-    so_path = os.path.join(build_dir, "libcriteo_parser.so")
+    from torchrec_tpu.utils.native import build_native_lib
+
+    lib = build_native_lib("criteo_parser.cpp")
+    if lib is None:
+        _NATIVE = None
+        return None
     try:
-        if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(src)
-        ):
-            os.makedirs(build_dir, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-                 src, "-o", so_path],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(so_path)
         lib.count_lines.restype = ctypes.c_int64
         lib.count_lines.argtypes = [ctypes.c_char_p]
         lib.parse_criteo_tsv.restype = ctypes.c_int64
@@ -96,22 +86,13 @@ def _native_stager() -> Optional[ctypes.CDLL]:
     global _STAGER
     if _STAGER is not None:
         return _STAGER
-    src = os.path.join(os.path.dirname(__file__), "..", "csrc",
-                       "batch_stager.cpp")
-    src = os.path.abspath(src)
-    build_dir = os.path.join(os.path.dirname(src), "_build")
-    so_path = os.path.join(build_dir, "libbatch_stager.so")
+    from torchrec_tpu.utils.native import build_native_lib
+
+    lib = build_native_lib("batch_stager.cpp")
+    if lib is None:
+        _STAGER = None
+        return None
     try:
-        if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(src)
-        ):
-            os.makedirs(build_dir, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-                 src, "-o", so_path],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(so_path)
         lib.stage_batch.restype = None
         lib.stage_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float),   # dense_in

@@ -21,10 +21,8 @@ Wire contract (length-prefixed binary over TCP, localhost):
 from __future__ import annotations
 
 import ctypes
-import os
 import socket
 import struct
-import subprocess
 import threading
 from concurrent.futures import Future
 from typing import Callable, Optional, Sequence
@@ -44,22 +42,13 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = os.path.join(os.path.dirname(__file__), "..", "csrc",
-                       "serving_queue.cpp")
-    src = os.path.abspath(src)
-    build_dir = os.path.join(os.path.dirname(src), "_build")
-    so_path = os.path.join(build_dir, "libserving_queue.so")
+    from torchrec_tpu.utils.native import build_native_lib
+
+    lib = build_native_lib("serving_queue.cpp")
+    if lib is None:
+        _LIB = None
+        return None
     try:
-        if not os.path.exists(so_path) or (
-            os.path.getmtime(so_path) < os.path.getmtime(src)
-        ):
-            os.makedirs(build_dir, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-                 src, "-o", so_path],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(so_path)
         lib.srv_create.restype = ctypes.c_void_p
         lib.srv_create.argtypes = [ctypes.c_int] * 5 + [
             ctypes.c_int64, ctypes.c_int]
@@ -193,6 +182,10 @@ class NativePredictServer:
             self._h, rid, out.ctypes.data_as(_c_f32p),
             int(600e6), err, len(err),
         )
+        if got == -1 and not self._stopped:
+            # timeout: the request is still live in C++ — cancel it so
+            # it is reaped instead of leaking in the server's live map
+            self._lib.srv_cancel(self._h, rid)
         if got == n:
             if not f.cancelled():
                 f.set_result(out)
@@ -205,6 +198,8 @@ class NativePredictServer:
     def serve_tcp(self, port: int = 0) -> int:
         """Start the C++ TCP listener (localhost). Returns bound port."""
         p = self._lib.srv_serve_tcp(self._h, int(port))
+        if p == -2:
+            raise RuntimeError("serve_tcp already started for this server")
         if p < 0:
             raise RuntimeError("srv_serve_tcp failed")
         self._port = p

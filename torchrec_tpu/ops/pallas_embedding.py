@@ -173,22 +173,38 @@ def _lookup_kernel(
     # Pooled reduction on the MXU: scale each fetched row by its slot
     # coefficient (coeff_ref is the bag-major (T, 1) column for this
     # step), then sum rows per bag via a 0/1 bag-selection matmul.
+    contrib = scratch[:] * coeff_ref[:]
+    if L == 1:
+        # one slot per bag: the bag-select matmul would be an identity
+        # (T == TB) — a pure copy is all the pooling there is
+        out_ref[:] = contrib.astype(out_ref.dtype)
+        return
     tb_iota = jax.lax.broadcasted_iota(jnp.int32, (TB, T), 0)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (TB, T), 1)
     sel = ((t_iota // L) == tb_iota).astype(scratch.dtype)
-    contrib = scratch[:] * coeff_ref[:]
     out_ref[:] = jnp.dot(
         sel, contrib, preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
+def _tbe_tile(NB: int, L: int):
+    """Single source for tbe_lookup_pooled's tiling + budget math.
+
+    Returns (TB, NBp, wave_ok, smem_ok): bags per grid step (8-aligned
+    for Mosaic sublane alignment of the (TB, D) out and (TB*L, 1) coeff
+    blocks), the TB-padded bag count, whether the DMA wave T = TB*L fits
+    the semaphore budget, and whether the scalar-prefetched ids fit SMEM.
+    Used by BOTH tbe_lookup_fits and _tbe_lookup_impl so the dispatch
+    predicate can never drift from the impl's guards."""
+    TB = max(8, (_MAX_WAVE // L) // 8 * 8)
+    NBp = -(-NB // TB) * TB
+    return (TB, NBp, TB * L <= _MAX_WAVE, NBp * L * 4 <= _SMEM_IDS_BYTES)
+
+
 def tbe_lookup_fits(NB: int, L: int) -> bool:
     """True iff tbe_lookup_pooled's wave + SMEM budgets admit (NB, L)."""
-    TB = max(8, (_MAX_WAVE // L) // 8 * 8)
-    if TB * L > _MAX_WAVE:
-        return False
-    NBp = -(-NB // TB) * TB
-    return NBp * L * 4 <= _SMEM_IDS_BYTES
+    _, _, wave_ok, smem_ok = _tbe_tile(NB, L)
+    return wave_ok and smem_ok
 
 
 def _tbe_lookup_impl(
@@ -199,20 +215,15 @@ def _tbe_lookup_impl(
 ) -> Array:
     NB, L = flat_ids.shape
     D = weights.shape[1]
-    # Bags per grid step: a multiple of 8 (Mosaic sublane alignment for
-    # the (TB, D) out block and the (TB*L, 1) coeff block) whose wave
-    # T = TB*L stays within the DMA-semaphore budget (sflag overflow
-    # measured at 512 descriptors on v5e -> budget 256).
-    TB = max(8, (_MAX_WAVE // L) // 8 * 8)
-    if TB * L > _MAX_WAVE:
+    TB, NBp, wave_ok, smem_ok = _tbe_tile(NB, L)
+    if not wave_ok:
         raise ValueError(
             f"tbe_lookup_pooled: L={L} needs a {TB * L}-descriptor DMA "
             f"wave at the TB=8 sublane floor, over the {_MAX_WAVE} "
             "semaphore budget (v5e sflag overflow at 512). Use the XLA "
             "path (TORCHREC_TPU_EMB_IMPL=xla) for L > 32."
         )
-    NBp = -(-NB // TB) * TB
-    if NBp * L * 4 > _SMEM_IDS_BYTES:
+    if not smem_ok:
         raise ValueError(
             f"tbe_lookup_pooled: scalar-prefetched ids take "
             f"{NBp * L * 4} bytes of SMEM, over the {_SMEM_IDS_BYTES} "

@@ -49,8 +49,11 @@ def _to_numpy(v: Any) -> np.ndarray:
 
 
 def _ndim(v: Any) -> int:
-    """Rank without materializing a converted copy."""
-    return int(getattr(v, "ndim", None) or np.asarray(v).ndim)
+    """Rank without materializing a converted copy. ndim == 0 is a real
+    answer (and np.asarray raises on 0-dim torch bf16 scalars), so only
+    a MISSING attribute falls through to numpy."""
+    nd = getattr(v, "ndim", None)
+    return int(nd) if nd is not None else np.asarray(v).ndim
 
 
 def _load_mapping(sd: Any) -> Mapping[str, Any]:
