@@ -364,6 +364,28 @@ def main():
                          "timed out twice at 240s — relay down)",
             }
         )
+        # the record still carries QUANTITATIVE content: cost-model
+        # predictions from the measured v5e constants (ops/cost_model.py;
+        # the same model retro-predicts the r2 measured headline within
+        # 2% — NOTES_r3.md). Clearly labeled as predictions, not runs.
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from predict_pod_shard import predict
+
+            def _p(chips, rows, optim):
+                r = predict(chips, rows, optim)
+                return {"ex_s": round(r["ex_s"], 1),
+                        "vs_baseline": round(r["vs_baseline"], 4)}
+
+            _OUT["predicted_from_cost_model"] = {
+                "headline_sgd": _p(1, ROWS, "exact_sgd"),
+                "rowwise_adagrad": _p(1, ROWS, "rowwise_adagrad"),
+                "pod_shard_sgd": _p(POD_CHIPS, None, "exact_sgd"),
+                "pod_shard_rowwise": _p(POD_CHIPS, None, "rowwise_adagrad"),
+            }
+        except Exception as e:  # noqa: BLE001 - predictions are best-effort
+            _OUT["predicted_from_cost_model"] = {"error": repr(e)[:200]}
         done.set()  # cancel the watchdog before returning
         _emit()
         return

@@ -69,6 +69,13 @@ def test_backend_unavailable_still_emits_json(monkeypatch, capsys):
     lines = _emitted_lines(capsys)
     assert lines[-1]["value"] is None
     assert "unavailable" in lines[-1]["error"]
+    # even a relay-down record carries quantitative content: cost-model
+    # predictions for the headline + pod-shard suites, clearly labeled
+    pred = lines[-1]["predicted_from_cost_model"]
+    for key in ("headline_sgd", "rowwise_adagrad",
+                "pod_shard_sgd", "pod_shard_rowwise"):
+        assert pred[key]["ex_s"] > 0
+        assert 0 < pred[key]["vs_baseline"] < 10
 
 
 def test_suite_exception_keeps_headline(monkeypatch, capsys):

@@ -28,33 +28,30 @@ from bench import (
 from torchrec_tpu.ops import cost_model
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--chips", type=int, default=64)
-    p.add_argument("--rows", type=int, default=None,
-                   help="uniform per-table rows (overrides MLPerf/chips)")
-    p.add_argument("--optim", choices=["exact_sgd", "rowwise_adagrad"],
-                   default="exact_sgd")
-    args = p.parse_args()
-
-    if args.rows is not None:
-        rows = [args.rows] * NUM_TABLES
+def predict(chips: int = 64, rows: int = None,
+            optim: str = "exact_sgd") -> dict:
+    """Cost-model step-time prediction for a bench config; pure math
+    (no jax) so bench.py can attach predictions to its relay-down error
+    record. Returns {step_ms, ex_s, vs_baseline, parts}."""
+    if rows is not None:
+        row_list = [rows] * NUM_TABLES
     else:
-        rows = [max(8, -(-c // args.chips)) for c in MLPERF_CARDINALITIES]
+        row_list = [max(8, -(-c // chips)) for c in MLPERF_CARDINALITIES]
 
     # one fused update covers the whole group of RW shards: ids of all
     # 26 features are deduped per shard; bench concatenates tables into
     # one row space per strategy, so model the group as one operand
-    total_rows = sum(rows)
+    total_rows = sum(row_list)
     group_bytes = total_rows * DIM * 4
     n_ids = NUM_TABLES * B  # L=1 Criteo
 
     lookup = cost_model.fused_lookup_s(n_ids)
     update = cost_model.fused_update_s(n_ids, group_bytes)
     mom = 0.0
-    if args.optim == "rowwise_adagrad":
+    if optim == "rowwise_adagrad":
         mom = min(
-            cost_model.mom_xla_s(n_ids), cost_model.mom_stream_s(total_rows, n_ids)
+            cost_model.mom_xla_s(n_ids),
+            cost_model.mom_stream_s(total_rows, n_ids),
         )
 
     # dense arches: fwd+bwd FLOPs at the bf16 MXU (2x fwd for bwd)
@@ -82,21 +79,55 @@ def main():
 
     step_s = lookup + update + mom + dense_s + misc_s
     ex_s = B / step_s
-    print(f"config: {args.chips}-chip shard, total_rows={total_rows:,} "
-          f"({group_bytes/2**30:.2f} GiB), N={n_ids:,}, optim={args.optim}")
-    print(f"  lookup   {lookup*1e3:7.2f} ms")
-    print(f"  update   {update*1e3:7.2f} ms  "
-          f"(xla {cost_model.xla_update_s(n_ids, group_bytes)*1e3:.2f} / "
-          f"pallas {cost_model.pallas_update_s(n_ids)*1e3:.2f})")
+    return {
+        "total_rows": total_rows,
+        "group_gib": group_bytes / 2**30,
+        "n_ids": n_ids,
+        "step_ms": step_s * 1e3,
+        "ex_s": ex_s,
+        "vs_baseline": ex_s / BASELINE_PER_GPU,
+        "parts_ms": {
+            "lookup": lookup * 1e3,
+            "update": update * 1e3,
+            "momentum": mom * 1e3,
+            "dense": dense_s * 1e3,
+            "misc": misc_s * 1e3,
+        },
+        "update_xla_ms": cost_model.xla_update_s(n_ids, group_bytes) * 1e3,
+        "update_pallas_ms": cost_model.pallas_update_s(n_ids) * 1e3,
+        "mom_xla_ms": cost_model.mom_xla_s(n_ids) * 1e3,
+        "mom_stream_ms": cost_model.mom_stream_s(total_rows, n_ids) * 1e3,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--chips", type=int, default=64)
+    p.add_argument("--rows", type=int, default=None,
+                   help="uniform per-table rows (overrides MLPerf/chips)")
+    p.add_argument("--optim", choices=["exact_sgd", "rowwise_adagrad"],
+                   default="exact_sgd")
+    args = p.parse_args()
+
+    r = predict(args.chips, args.rows, args.optim)
+    parts = r["parts_ms"]
+    print(f"config: {args.chips}-chip shard, "
+          f"total_rows={r['total_rows']:,} "
+          f"({r['group_gib']:.2f} GiB), N={r['n_ids']:,}, "
+          f"optim={args.optim}")
+    print(f"  lookup   {parts['lookup']:7.2f} ms")
+    print(f"  update   {parts['update']:7.2f} ms  "
+          f"(xla {r['update_xla_ms']:.2f} / "
+          f"pallas {r['update_pallas_ms']:.2f})")
     if args.optim == "rowwise_adagrad":
-        print(f"  momentum {mom*1e3:7.2f} ms  "
-              f"(xla {cost_model.mom_xla_s(n_ids)*1e3:.2f} / "
-              f"stream {cost_model.mom_stream_s(total_rows, n_ids)*1e3:.2f})")
-    print(f"  dense    {dense_s*1e3:7.2f} ms")
-    print(f"  misc     {misc_s*1e3:7.2f} ms")
-    print(f"predicted single-chip step {step_s*1e3:.2f} ms -> "
-          f"{ex_s:,.0f} ex/s/chip "
-          f"(vs A100 baseline {ex_s/BASELINE_PER_GPU:.3f}x)")
+        print(f"  momentum {parts['momentum']:7.2f} ms  "
+              f"(xla {r['mom_xla_ms']:.2f} / "
+              f"stream {r['mom_stream_ms']:.2f})")
+    print(f"  dense    {parts['dense']:7.2f} ms")
+    print(f"  misc     {parts['misc']:7.2f} ms")
+    print(f"predicted single-chip step {r['step_ms']:.2f} ms -> "
+          f"{r['ex_s']:,.0f} ex/s/chip "
+          f"(vs A100 baseline {r['vs_baseline']:.3f}x)")
 
 
 if __name__ == "__main__":
