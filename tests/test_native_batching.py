@@ -201,6 +201,25 @@ def test_tcp_concurrent_connections():
         srv.stop()
 
 
+def test_many_inflight_submits_single_drain_thread():
+    # 300 in-flight futures resolve through ONE completion-queue drain
+    # thread — no per-request waiter threads
+    srv = _server(max_latency_s=0.002, max_pending=4096)
+    try:
+        rng = np.random.RandomState(11)
+        before = threading.active_count()
+        reqs = [_req(rng, 1 + (k % 3)) for k in range(300)]
+        futs = [srv.submit(d, i) for d, i in reqs]
+        during = threading.active_count()
+        assert during - before < 10, (before, during)
+        for f, (d, i) in zip(futs, reqs):
+            np.testing.assert_allclose(
+                f.result(timeout=60), _expected(d, i), rtol=1e-6
+            )
+    finally:
+        srv.stop()
+
+
 def test_stop_with_open_idle_connection_returns():
     # an idle client parked in the server's recv() must not deadlock
     # stop(): srv_stop shuts the handler sockets down before joining

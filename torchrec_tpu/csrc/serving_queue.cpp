@@ -54,6 +54,7 @@ using Clock = std::chrono::steady_clock;
 struct Request {
   int64_t id = -1;
   int n = 0;                    // examples contributed
+  bool notify_done = false;     // resolved via the completion queue
   std::vector<float> dense;     // [n, D]
   std::vector<int32_t> ids;     // [F, n, L]
   Clock::time_point t_enqueue;
@@ -79,6 +80,8 @@ struct Server {
   std::mutex mu;
   std::condition_variable cv_submit;   // waking the batch-taker
   std::condition_variable cv_result;   // waking request waiters
+  std::condition_variable cv_done;     // waking the completion-queue drain
+  std::deque<int64_t> done_queue;      // resolved notify_done requests
   std::deque<Request*> queue;          // pending, FIFO
   std::unordered_map<int64_t, Request*> live;  // all not-yet-reaped
   std::unordered_map<int64_t, std::vector<BatchEntry>> inflight;
@@ -123,14 +126,19 @@ void* srv_create(int batch_size, int dense_dim, int num_feats, int L,
 }
 
 // Enqueue a request of n examples. dense is [n, D] f32 (may be null when
-// D == 0), ids is [F, n, L] i32. Returns the request id (>= 0), or
+// D == 0), ids is [F, n, L] i32. notify_done=1 resolves the request via
+// the completion queue (srv_next_done/srv_collect, one drain thread);
+// notify_done=0 resolves via a blocking srv_wait (one waiter per
+// request, the TCP handler mode). Returns the request id (>= 0), or
 // -1 stopped, -2 bad n, -3 queue full.
-int64_t srv_submit(void* h, int n, const float* dense, const int32_t* ids) {
+int64_t srv_submit(void* h, int n, const float* dense, const int32_t* ids,
+                   int notify_done) {
   Server* s = S(h);
   if (n <= 0 || n > s->B) return -2;
   if (s->D > 0 && !dense) return -2;
   auto* r = new Request();
   r->n = n;
+  r->notify_done = notify_done != 0;
   if (s->D > 0) {
     r->dense.assign(dense, dense + (size_t)n * s->D);
   }
@@ -252,10 +260,12 @@ int srv_complete(void* h, int64_t batch_id, const float* preds) {
     r->result.assign(preds + (size_t)e.offset * s->R,
                      preds + (size_t)(e.offset + e.n) * s->R);
     r->state = Request::DONE;
+    if (r->notify_done) s->done_queue.push_back(r->id);
     ++done;
   }
   s->inflight.erase(it);
   s->cv_result.notify_all();
+  s->cv_done.notify_all();
   return done;
 }
 
@@ -275,10 +285,60 @@ int srv_fail_batch(void* h, int64_t batch_id, const char* msg) {
     }
     r->state = Request::ERRORED;
     r->error = msg ? msg : "executor error";
+    if (r->notify_done) s->done_queue.push_back(r->id);
   }
   s->inflight.erase(it);
   s->cv_result.notify_all();
+  s->cv_done.notify_all();
   return 0;
+}
+
+// Completion-queue drain (one thread): block until a notify_done request
+// resolves; returns 1 and sets *rid_out/*n_out, or 0 when the server is
+// stopped and the queue is drained.
+int srv_next_done(void* h, int64_t* rid_out, int* n_out) {
+  Server* s = S(h);
+  std::unique_lock<std::mutex> lk(s->mu);
+  for (;;) {
+    while (!s->done_queue.empty()) {
+      int64_t rid = s->done_queue.front();
+      s->done_queue.pop_front();
+      auto lit = s->live.find(rid);
+      if (lit == s->live.end()) continue;  // cancelled + reaped
+      *rid_out = rid;
+      *n_out = lit->second->n;
+      return 1;
+    }
+    // only exit once nothing can resolve anymore: batches in flight at
+    // stop time still complete (the executor drains before exiting)
+    if (s->stopped && s->inflight.empty() && s->queue.empty()) return 0;
+    s->cv_done.wait(lk);
+  }
+}
+
+// Fetch a resolved request's result ([n, R] into out) and reap it.
+// Returns n, or -2 errored (message via err_out, reaped), -3 unknown,
+// -4 not resolved yet (use only on ids from srv_next_done).
+int srv_collect(void* h, int64_t req_id, float* out, char* err_out,
+                int err_cap) {
+  Server* s = S(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  auto lit = s->live.find(req_id);
+  if (lit == s->live.end()) return -3;
+  Request* r = lit->second;
+  if (r->state == Request::PENDING) return -4;
+  if (r->state != Request::DONE) {
+    if (err_out && err_cap > 0) {
+      std::strncpy(err_out, r->error.c_str(), err_cap - 1);
+      err_out[err_cap - 1] = '\0';
+    }
+    reap_locked(s, r);
+    return -2;
+  }
+  int n = r->n;
+  std::memcpy(out, r->result.data(), sizeof(float) * (size_t)n * s->R);
+  reap_locked(s, r);
+  return n;
 }
 
 // Wait for a request's result; out must hold n*R floats. Returns the
@@ -412,7 +472,7 @@ void handle_conn(Server* s, int fd) {
     }
     if (!read_full(fd, ids.data(), ids.size() * sizeof(int32_t))) break;
     int64_t rid = srv_submit(s, n, s->D > 0 ? dense.data() : nullptr,
-                             ids.data());
+                             ids.data(), /*notify_done=*/0);
     if (rid < 0) {
       if (!send_err(fd, rid == -3 ? "queue full" : "server stopped")) break;
       continue;
@@ -489,11 +549,13 @@ void srv_stop(void* h) {
     for (auto* r : s->queue) {
       r->state = Request::ERRORED;
       r->error = "server stopped";
+      if (r->notify_done) s->done_queue.push_back(r->id);
     }
     s->queue.clear();
   }
   s->cv_submit.notify_all();
   s->cv_result.notify_all();
+  s->cv_done.notify_all();
   if (s->listen_fd >= 0) {
     ::shutdown(s->listen_fd, SHUT_RDWR);
     ::close(s->listen_fd);

@@ -54,7 +54,15 @@ def _native_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int]
         lib.srv_submit.restype = ctypes.c_int64
         lib.srv_submit.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, _c_f32p, _c_i32p]
+            ctypes.c_void_p, ctypes.c_int, _c_f32p, _c_i32p, ctypes.c_int]
+        lib.srv_next_done.restype = ctypes.c_int
+        lib.srv_next_done.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.srv_collect.restype = ctypes.c_int
+        lib.srv_collect.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, _c_f32p, ctypes.c_char_p,
+            ctypes.c_int]
         lib.srv_next_batch.restype = ctypes.c_int
         lib.srv_next_batch.argtypes = [
             ctypes.c_void_p, _c_f32p, _c_i32p,
@@ -131,16 +139,21 @@ class NativePredictServer:
         # executor-owned collation buffers, reused across batches
         self._dense_buf = np.empty((self._B, self._D), np.float32)
         self._ids_buf = np.empty((self._F, self._B, self._L), np.int32)
+        # in-process futures resolve through the C++ completion queue:
+        # ONE drain thread services every submit() (no per-request
+        # waiter threads), mirroring the executor split
+        self._futures: dict = {}
+        self._fut_lock = threading.Lock()
         self._exec = threading.Thread(target=self._run, daemon=True)
         self._exec.start()
+        self._drain = threading.Thread(target=self._drain_done, daemon=True)
+        self._drain.start()
 
     # -- client side (in-process) -------------------------------------
 
     def submit(self, dense: np.ndarray, ids: np.ndarray) -> Future:
         """dense [n, D] f32, ids [F, n, L] i32 -> Future of [n, R] f32.
-        The wait is serviced by a daemon thread per call-site pattern of
-        the Python batcher; here the future resolves via a small waiter
-        thread (srv_wait blocks in C++, GIL released)."""
+        Resolved by the completion-queue drain thread."""
         if self._stopped:  # the handle is destroyed — never call into it
             f = Future()
             f.set_exception(RuntimeError("server stopped"))
@@ -153,45 +166,60 @@ class NativePredictServer:
                 f"bad request shapes {dense.shape}/{ids.shape} for "
                 f"D={self._D} F={self._F} L={self._L}"
             )
-        rid = self._lib.srv_submit(
-            self._h, n,
-            dense.ctypes.data_as(_c_f32p) if self._D else None,
-            ids.ctypes.data_as(_c_i32p),
-        )
         f: Future = Future()
+        # hold the lock ACROSS the submit: the drain thread resolves by
+        # request id, so the id must be registered before the drain can
+        # observe its completion (srv_submit is a non-blocking enqueue)
+        with self._fut_lock:
+            rid = self._lib.srv_submit(
+                self._h, n,
+                dense.ctypes.data_as(_c_f32p) if self._D else None,
+                ids.ctypes.data_as(_c_i32p), 1,
+            )
+            if rid >= 0:
+                self._futures[int(rid)] = f
         if rid < 0:
             f.set_exception(RuntimeError(
                 {-1: "server stopped", -2: "bad request size",
                  -3: "queue full"}.get(int(rid), "submit failed")
             ))
-            return f
-        t = threading.Thread(
-            target=self._wait_into, args=(int(rid), n, f), daemon=True
-        )
-        t.start()
         return f
 
     def predict(self, dense: np.ndarray, ids: np.ndarray,
                 timeout: Optional[float] = None) -> np.ndarray:
         return self.submit(dense, ids).result(timeout)
 
-    def _wait_into(self, rid: int, n: int, f: Future) -> None:
-        out = np.empty((n, self._R), np.float32)
+    def _drain_done(self) -> None:
+        """Single thread resolving every in-process future: blocks in
+        srv_next_done (GIL released), collects, dispatches."""
+        rid = ctypes.c_int64(0)
+        n = ctypes.c_int(0)
         err = ctypes.create_string_buffer(256)
-        got = self._lib.srv_wait(
-            self._h, rid, out.ctypes.data_as(_c_f32p),
-            int(600e6), err, len(err),
-        )
-        if got == -1 and not self._stopped:
-            # timeout: the request is still live in C++ — cancel it so
-            # it is reaped instead of leaking in the server's live map
-            self._lib.srv_cancel(self._h, rid)
-        if got == n:
-            if not f.cancelled():
+        while self._lib.srv_next_done(
+            self._h, ctypes.byref(rid), ctypes.byref(n)
+        ):
+            out = np.empty((n.value, self._R), np.float32)
+            got = self._lib.srv_collect(
+                self._h, rid.value, out.ctypes.data_as(_c_f32p),
+                err, len(err),
+            )
+            with self._fut_lock:
+                f = self._futures.pop(int(rid.value), None)
+            if f is None or f.cancelled():
+                continue
+            if got == n.value:
                 f.set_result(out)
-        elif not f.cancelled():
-            msg = err.value.decode() or f"srv_wait -> {got}"
-            f.set_exception(RuntimeError(msg))
+            else:
+                f.set_exception(RuntimeError(
+                    err.value.decode() or f"srv_collect -> {got}"
+                ))
+        # stopped: fail anything still registered
+        with self._fut_lock:
+            leftover = list(self._futures.values())
+            self._futures.clear()
+        for f in leftover:
+            if not f.done() and not f.cancelled():
+                f.set_exception(RuntimeError("server stopped"))
 
     # -- TCP front -----------------------------------------------------
 
@@ -252,6 +280,7 @@ class NativePredictServer:
         self._stopped = True
         self._lib.srv_stop(self._h)
         self._exec.join(timeout=10)
+        self._drain.join(timeout=10)
         # srv_destroy is deferred to __del__: a submit()/waiter thread
         # racing stop() may still be inside a srv_* call, and the C++
         # side keeps every such call safe on a stopped (but live) handle
