@@ -207,3 +207,50 @@ def test_position_weighted_module():
     assert out.weights.shape == (1, 2, 3)
     # init weights are 1.0 on valid slots, 0 on pad
     np.testing.assert_allclose(np.asarray(out.weights[0]), [[1, 1, 0], [1, 0, 0]])
+
+
+# -- modules/utils.py (ref: torchrec/modules/utils.py) -----------------------
+
+
+def test_utils_extract_and_output_dimension():
+    import flax.linen as nn
+
+    from torchrec_tpu.modules.utils import (
+        check_module_output_dimension,
+        extract_module_or_tensor_callable,
+        get_module_output_dimension,
+    )
+
+    class Proj(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(7)(x)
+
+    m = extract_module_or_tensor_callable(Proj)  # factory -> instance
+    assert isinstance(m, nn.Module)
+    assert get_module_output_dimension(m, 5) == 7
+    assert check_module_output_dimension([m, Proj()], 5, 7)
+    assert not check_module_output_dimension(m, 5, 8)
+    fn = extract_module_or_tensor_callable(lambda x: x[:, :3])
+    assert get_module_output_dimension(fn, 5) == 3
+    with pytest.raises(ValueError, match="not a flax Module class"):
+        extract_module_or_tensor_callable(dict)
+
+
+def test_utils_modulelist_shaping():
+    import flax.linen as nn
+
+    from torchrec_tpu.modules.utils import (
+        construct_modulelist_from_single_module,
+        convert_list_of_modules_to_modulelist,
+    )
+
+    dense = nn.Dense(4)
+    nested = construct_modulelist_from_single_module(dense, (2, 3))
+    assert len(nested) == 2 and all(len(row) == 3 for row in nested)
+
+    mods = [nn.Dense(i + 1) for i in range(6)]
+    grid = convert_list_of_modules_to_modulelist(mods, (2, 3))
+    assert grid[1][2].features == 6
+    with pytest.raises(ValueError, match="do not match"):
+        convert_list_of_modules_to_modulelist(mods, (2, 2))
