@@ -161,7 +161,8 @@ def main():
         "Narrative docs: [README](../README.md) · "
         "[migration guide](../MIGRATION.md) · "
         "[component parity map](../PARITY.md) · "
-        "[introduction notebook](../Torchrec_TPU_Introduction.ipynb)",
+        "[introduction notebook](../Torchrec_TPU_Introduction.ipynb) · "
+        "[sharding & UVM notebook](../examples/Sharding_And_UVM.ipynb)",
         "",
     ]
     with open(os.path.join(REPO, "docs", "index.md"), "w") as f:
