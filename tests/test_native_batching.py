@@ -73,10 +73,12 @@ def test_partial_batch_deadline_flush():
         srv.stop()
 
 
-def test_requests_never_split_across_batches():
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_requests_never_split_across_batches(pipeline):
     # a request larger than the remaining batch space rides the NEXT
-    # batch whole (FIFO prefix rule) — outputs must still be correct
-    srv = _server(max_latency_s=0.01)
+    # batch whole (FIFO prefix rule) — outputs must still be correct,
+    # with and without the double-buffered executor pipeline
+    srv = _server(max_latency_s=0.01, pipeline=pipeline)
     try:
         rng = np.random.RandomState(2)
         reqs = [_req(rng, n) for n in (5, 6, 7, 4)]
@@ -197,6 +199,25 @@ def test_tcp_concurrent_connections():
             t.join(timeout=60)
         assert not errors, errors
         assert len(results) == 8
+    finally:
+        srv.stop()
+
+
+def test_lone_requests_not_held_by_double_buffering():
+    # the double-buffered executor holds batch k's dispatched results
+    # while waiting for batch k+1 — a BOUNDED wait must post them even
+    # when no further traffic ever arrives (pipeline forced on: the CPU
+    # auto-default turns it off)
+    srv = _server(max_latency_s=0.005, pipeline=True)
+    try:
+        rng = np.random.RandomState(10)
+        for _ in range(3):  # each predict is a lone batch, then silence
+            d, i = _req(rng, 2)
+            t0 = time.monotonic()
+            out = srv.predict(d, i, timeout=10)
+            assert time.monotonic() - t0 < 1.0
+            np.testing.assert_allclose(out, _expected(d, i), rtol=1e-6)
+            time.sleep(0.05)
     finally:
         srv.stop()
 

@@ -167,12 +167,20 @@ int64_t srv_submit(void* h, int n, const float* dense, const int32_t* ids,
 // FIFO prefix fitting B examples and writes the coalesced batch:
 //   dense_out [B, D] f32, ids_out [F, B, L] i32 (pad tail = example 0).
 // Returns the number of requests in the batch and sets *batch_id_out;
-// returns 0 when the server is stopped and drained (buffers untouched).
+// returns 0 when the server is stopped and drained (buffers untouched),
+// or -1 when wait_budget_us (>= 0) elapses with no batch ready — the
+// double-buffered executor passes a bounded budget while a dispatched
+// batch is still unfetched, so its results are never held hostage to
+// future traffic. wait_budget_us < 0 waits indefinitely.
 int srv_next_batch(void* h, float* dense_out, int32_t* ids_out,
-                   int64_t* batch_id_out) {
+                   int64_t* batch_id_out, int64_t wait_budget_us) {
   Server* s = S(h);
   std::vector<Request*> batch;
   int64_t batch_id;
+  const bool bounded = wait_budget_us >= 0;
+  const auto budget_end =
+      Clock::now() + std::chrono::microseconds(
+                         bounded ? wait_budget_us : 0);
   {
     std::unique_lock<std::mutex> lk(s->mu);
     for (;;) {
@@ -180,13 +188,20 @@ int srv_next_batch(void* h, float* dense_out, int32_t* ids_out,
       int total = 0;
       for (auto* r : s->queue) total += r->n;
       if (total >= s->B || s->stopped) break;
+      auto wake = Clock::time_point::max();
       if (!s->queue.empty()) {
-        auto deadline = s->queue.front()->t_enqueue +
-                        std::chrono::microseconds(s->max_latency_us);
-        if (Clock::now() >= deadline) break;
-        s->cv_submit.wait_until(lk, deadline);
-      } else {
+        wake = s->queue.front()->t_enqueue +
+               std::chrono::microseconds(s->max_latency_us);
+        if (Clock::now() >= wake) break;
+      }
+      if (bounded) {
+        if (Clock::now() >= budget_end) return -1;
+        wake = std::min(wake, budget_end);
+      }
+      if (wake == Clock::time_point::max()) {
         s->cv_submit.wait(lk);
+      } else {
+        s->cv_submit.wait_until(lk, wake);
       }
     }
     int used = 0;
@@ -198,7 +213,8 @@ int srv_next_batch(void* h, float* dense_out, int32_t* ids_out,
     if (batch.empty()) {
       // front request alone exceeds remaining space: cannot happen
       // (submit bounds n <= B), but guard against a spurious wake
-      return srv_next_batch(h, dense_out, ids_out, batch_id_out);
+      return srv_next_batch(h, dense_out, ids_out, batch_id_out,
+                            wait_budget_us);
     }
     batch_id = s->next_batch_id++;
     auto& entries = s->inflight[batch_id];

@@ -66,7 +66,7 @@ def _native_lib() -> Optional[ctypes.CDLL]:
         lib.srv_next_batch.restype = ctypes.c_int
         lib.srv_next_batch.argtypes = [
             ctypes.c_void_p, _c_f32p, _c_i32p,
-            ctypes.POINTER(ctypes.c_int64)]
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         lib.srv_complete.restype = ctypes.c_int
         lib.srv_complete.argtypes = [ctypes.c_void_p, ctypes.c_int64, _c_f32p]
         lib.srv_fail_batch.restype = ctypes.c_int
@@ -117,6 +117,7 @@ class NativePredictServer:
         result_dim: int = 1,
         max_latency_s: float = 0.005,
         max_pending: int = 4096,
+        pipeline: Optional[bool] = None,
     ):
         lib = _native_lib()
         if lib is None:
@@ -136,9 +137,23 @@ class NativePredictServer:
             raise RuntimeError("srv_create failed (bad config)")
         self._stopped = False
         self._port: Optional[int] = None
-        # executor-owned collation buffers, reused across batches
-        self._dense_buf = np.empty((self._B, self._D), np.float32)
-        self._ids_buf = np.empty((self._F, self._B, self._L), np.int32)
+        # DOUBLE-buffered collation: while the device computes batch k
+        # (async dispatch), the executor blocks in C++ coalescing batch
+        # k+1 into the other buffer pair — the reference's
+        # mem-pinner/GPUExecutor overlap, expressed through JAX's async
+        # dispatch instead of a second thread
+        self._dense_bufs = [np.empty((self._B, self._D), np.float32)
+                            for _ in range(2)]
+        self._ids_bufs = [np.empty((self._F, self._B, self._L), np.int32)
+                          for _ in range(2)]
+        if pipeline is None:
+            # pipelining only pays when the device computes in parallel
+            # with the host (TPU async dispatch); on CPU the held batch
+            # just adds client latency
+            import jax
+
+            pipeline = jax.default_backend() != "cpu"
+        self._pipeline = bool(pipeline)
         # in-process futures resolve through the C++ completion queue:
         # ONE drain thread services every submit() (no per-request
         # waiter threads), mirroring the executor split
@@ -242,37 +257,67 @@ class NativePredictServer:
 
     # -- executor ------------------------------------------------------
 
-    def _run(self) -> None:
+    def _post(self, bid: int, out) -> None:
+        """Materialize a dispatched predict and demux it (or fail the
+        batch). np.asarray is the device sync point."""
         import jax
 
+        try:
+            leaves = [x for x in jax.tree.leaves(out)
+                      if getattr(x, "ndim", 0) >= 1]
+            preds = np.asarray(leaves[0], np.float32).reshape(self._B, -1)
+            if preds.shape[1] != self._R:
+                raise ValueError(
+                    f"predict_fn returned result_dim {preds.shape[1]}, "
+                    f"server configured for {self._R}"
+                )
+            preds = np.ascontiguousarray(preds)
+            self._lib.srv_complete(
+                self._h, bid, preds.ctypes.data_as(_c_f32p)
+            )
+        except Exception as e:  # noqa: BLE001 - delivered per request
+            self._lib.srv_fail_batch(self._h, bid, str(e)[:200].encode())
+
+    def _run(self) -> None:
         bid = ctypes.c_int64(0)
+        pending = None  # (bid, dispatched-but-unfetched predict output)
+        k = 0
         while True:
+            dense, ids = self._dense_bufs[k], self._ids_bufs[k]
+            # with a dispatched batch pending, bound the wait so a lone
+            # batch's results are posted even when no new traffic comes
+            budget = -1 if pending is None else 2000
             nreq = self._lib.srv_next_batch(
                 self._h,
-                self._dense_buf.ctypes.data_as(_c_f32p),
-                self._ids_buf.ctypes.data_as(_c_i32p),
-                ctypes.byref(bid),
+                dense.ctypes.data_as(_c_f32p),
+                ids.ctypes.data_as(_c_i32p),
+                ctypes.byref(bid), budget,
             )
-            if nreq <= 0:  # stopped and drained
+            if nreq == -1:  # wait budget elapsed, nothing new
+                self._post(*pending)
+                pending = None
+                continue
+            if nreq == 0:  # stopped and drained
+                if pending is not None:
+                    self._post(*pending)
                 return
             try:
-                out = self._predict(self._dense_buf, self._ids_buf)
-                leaves = [x for x in jax.tree.leaves(out)
-                          if getattr(x, "ndim", 0) >= 1]
-                preds = np.asarray(leaves[0], np.float32).reshape(self._B, -1)
-                if preds.shape[1] != self._R:
-                    raise ValueError(
-                        f"predict_fn returned result_dim {preds.shape[1]}, "
-                        f"server configured for {self._R}"
-                    )
-                preds = np.ascontiguousarray(preds)
-                self._lib.srv_complete(
-                    self._h, bid.value, preds.ctypes.data_as(_c_f32p)
-                )
+                out = self._predict(dense, ids)  # async dispatch
             except Exception as e:  # noqa: BLE001 - delivered per request
                 self._lib.srv_fail_batch(
                     self._h, bid.value, str(e)[:200].encode()
                 )
+                continue
+            if not self._pipeline:
+                self._post(bid.value, out)
+                continue
+            # batch k is on the device; fetching batch k-1 and collating
+            # batch k+1 (next loop head, in C++ with the GIL released)
+            # both overlap with its compute
+            if pending is not None:
+                self._post(*pending)
+            pending = (bid.value, out)
+            k ^= 1
 
     def stop(self) -> None:
         if self._stopped:
