@@ -24,4 +24,7 @@ timeout 1200 python tools/overlap_r3.py --mode hlo --n_devices 1 --prefetch
 echo "=== 4. quality (chip scale) $(date) ==="
 bash tools/run_quality_r3.sh
 
+echo "=== 5. serving tier (chip) $(date) ==="
+timeout 1200 python tools/bench_serving.py --requests 200 --batch_size 2048
+
 echo "=== CAMPAIGN DONE $(date) ==="
