@@ -45,25 +45,22 @@ import time
 
 import numpy as np
 
-NUM_TABLES = 26
-ROWS = 100_000
-HBM_ROWS = 700_000  # 26 x 700k x 128 x 4B = 8.7 GiB of tables
-DIM = 128
-DENSE_IN = 13
-B = 8192
-L = 1  # Criteo: exactly one id per feature
-STEPS = 60
-BASELINE_PER_GPU = 5_497_159.68 / 8.0
-
-# The reference's MLPerf config table cardinalities (97.36 GiB at
-# dim=128 fp32; examples/dlrm/README.MD:45). pod_shard benches the
-# per-chip shard of this config RW-sharded over POD_CHIPS chips.
-MLPERF_CARDINALITIES = (
-    40000000, 39060, 17295, 7424, 20265, 3, 7122, 1543, 63, 40000000,
-    3067956, 405282, 10, 2209, 11938, 155, 4, 976, 14, 40000000,
-    40000000, 40000000, 590152, 12973, 108, 36,
+# shared with tools/ via bench_config (import * keeps `from bench import
+# B` working for existing callers without re-running this script's
+# module body)
+from bench_config import (  # noqa: F401
+    B,
+    BASELINE_PER_GPU,
+    DENSE_IN,
+    DIM,
+    HBM_ROWS,
+    L,
+    MLPERF_CARDINALITIES,
+    NUM_TABLES,
+    POD_CHIPS,
+    ROWS,
+    STEPS,
 )
-POD_CHIPS = 64
 
 _OUT = {}          # mutated in place; emitted by main, watchdog, SIGTERM
 _EMIT_LOCK = threading.RLock()  # SIGTERM handler emits on the same thread

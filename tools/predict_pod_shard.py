@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from bench import (
+from bench_config import (
     B,
     BASELINE_PER_GPU,
     DENSE_IN,

@@ -144,6 +144,7 @@ int64_t srv_submit(void* h, int n, const float* dense, const int32_t* ids,
   }
   r->ids.assign(ids, ids + (size_t)s->F * n * s->L);
   r->t_enqueue = Clock::now();
+  int64_t rid;
   {
     std::lock_guard<std::mutex> g(s->mu);
     if (s->stopped) {
@@ -155,11 +156,16 @@ int64_t srv_submit(void* h, int n, const float* dense, const int32_t* ids,
       return -3;
     }
     r->id = s->next_req_id++;
+    rid = r->id;
     s->queue.push_back(r);
     s->live.emplace(r->id, r);
+    // r must not be touched after this scope: once the lock drops, the
+    // executor can batch, complete, and REAP it before we resume
+    // (observed: reading r->id after unlock returned a reused heap
+    // slot's garbage, orphaning the client's future)
   }
   s->cv_submit.notify_one();
-  return r->id;
+  return rid;
 }
 
 // Blocking batch take + collation. Waits until >= B examples are pending

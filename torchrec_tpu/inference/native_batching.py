@@ -129,9 +129,10 @@ class NativePredictServer:
         self._B, self._D = int(batch_size), int(dense_dim)
         self._F, self._L = int(num_feats), int(num_ids_per_feat)
         self._R = int(result_dim)
+        self._lat_us = int(max_latency_s * 1e6)
         self._h = lib.srv_create(
             self._B, self._D, self._F, self._L, self._R,
-            int(max_latency_s * 1e6), int(max_pending),
+            self._lat_us, int(max_pending),
         )
         if not self._h:
             raise RuntimeError("srv_create failed (bad config)")
@@ -157,7 +158,8 @@ class NativePredictServer:
         # in-process futures resolve through the C++ completion queue:
         # ONE drain thread services every submit() (no per-request
         # waiter threads), mirroring the executor split
-        self._futures: dict = {}
+        self._futures: dict = {}   # rid -> Future awaiting resolution
+        self._parked: dict = {}    # rid -> result the drain saw pre-registration
         self._fut_lock = threading.Lock()
         self._exec = threading.Thread(target=self._run, daemon=True)
         self._exec.start()
@@ -182,17 +184,22 @@ class NativePredictServer:
                 f"D={self._D} F={self._F} L={self._L}"
             )
         f: Future = Future()
-        # hold the lock ACROSS the submit: the drain thread resolves by
-        # request id, so the id must be registered before the drain can
-        # observe its completion (srv_submit is a non-blocking enqueue)
-        with self._fut_lock:
-            rid = self._lib.srv_submit(
-                self._h, n,
-                dense.ctypes.data_as(_c_f32p) if self._D else None,
-                ids.ctypes.data_as(_c_i32p), 1,
-            )
-            if rid >= 0:
-                self._futures[int(rid)] = f
+        # submit OUTSIDE the lock (it memcpys the payload — serializing
+        # submitters behind one Python lock throttled the 8-client
+        # bench); the drain parks results for ids it has not seen yet,
+        # so register-after-submit cannot lose the completion
+        rid = self._lib.srv_submit(
+            self._h, n,
+            dense.ctypes.data_as(_c_f32p) if self._D else None,
+            ids.ctypes.data_as(_c_i32p), 1,
+        )
+        if rid >= 0:
+            with self._fut_lock:
+                parked = self._parked.pop(int(rid), None)
+                if parked is None:
+                    self._futures[int(rid)] = f
+            if parked is not None:  # drain beat us to it
+                self._resolve(f, *parked)
         if rid < 0:
             f.set_exception(RuntimeError(
                 {-1: "server stopped", -2: "bad request size",
@@ -203,6 +210,21 @@ class NativePredictServer:
     def predict(self, dense: np.ndarray, ids: np.ndarray,
                 timeout: Optional[float] = None) -> np.ndarray:
         return self.submit(dense, ids).result(timeout)
+
+    @staticmethod
+    def _resolve(f: Future, out, error: Optional[str]) -> None:
+        """Resolve one future, immune to racing client cancel(): a
+        cancel landing between our check and set_result would otherwise
+        raise InvalidStateError and kill the SHARED drain thread."""
+        try:
+            if not f.set_running_or_notify_cancel():
+                return  # client cancelled; drop the result
+            if error is None:
+                f.set_result(out)
+            else:
+                f.set_exception(RuntimeError(error))
+        except Exception:  # noqa: BLE001 - never kill the drain loop
+            pass
 
     def _drain_done(self) -> None:
         """Single thread resolving every in-process future: blocks in
@@ -218,23 +240,24 @@ class NativePredictServer:
                 self._h, rid.value, out.ctypes.data_as(_c_f32p),
                 err, len(err),
             )
+            error = (None if got == n.value
+                     else err.value.decode() or f"srv_collect -> {got}")
             with self._fut_lock:
                 f = self._futures.pop(int(rid.value), None)
-            if f is None or f.cancelled():
-                continue
-            if got == n.value:
-                f.set_result(out)
-            else:
-                f.set_exception(RuntimeError(
-                    err.value.decode() or f"srv_collect -> {got}"
-                ))
+                if f is None:
+                    # completion observed before submit() registered the
+                    # future — park it for the registration path
+                    self._parked[int(rid.value)] = (out, error)
+            if f is not None:
+                self._resolve(f, out, error)
         # stopped: fail anything still registered
         with self._fut_lock:
             leftover = list(self._futures.values())
             self._futures.clear()
+            self._parked.clear()
         for f in leftover:
-            if not f.done() and not f.cancelled():
-                f.set_exception(RuntimeError("server stopped"))
+            if not f.done():
+                self._resolve(f, None, "server stopped")
 
     # -- TCP front -----------------------------------------------------
 
@@ -285,8 +308,9 @@ class NativePredictServer:
         while True:
             dense, ids = self._dense_bufs[k], self._ids_bufs[k]
             # with a dispatched batch pending, bound the wait so a lone
-            # batch's results are posted even when no new traffic comes
-            budget = -1 if pending is None else 2000
+            # batch's results are posted even when no new traffic comes;
+            # the hold must respect the server's flush-latency contract
+            budget = -1 if pending is None else min(self._lat_us, 2000)
             nreq = self._lib.srv_next_batch(
                 self._h,
                 dense.ctypes.data_as(_c_f32p),
