@@ -84,7 +84,7 @@ def _build_step(n_devices, devices=None, do_init=True, local_size=None):
 
 
 def _build_bench_step(n_devices, devices=None, do_init=True,
-                      local_size=None, rows=None):
+                      local_size=None, rows=None, hier_a2a=False):
     """The BENCH config (bench.py shapes: 26 tables x ROWS x 128, B=8192,
     L=1, the MLPerf dense/over archs) RW-sharded over n_devices — the
     flagship program whose collectives are big enough for the TPU
@@ -135,16 +135,32 @@ def _build_bench_step(n_devices, devices=None, do_init=True,
         (list(devices) if devices is not None else jax.devices())[:n_devices],
         **({"local_size": local_size} if local_size else {}),
     )
-    plan = ShardingPlan({
-        "dlrm/embedding_bag_collection": {
-            f"t{i}": ParameterSharding(ShardingType.ROW_WISE)
-            for i in range(NT)
-        }
-    })
+    if hier_a2a:
+        # host-hierarchical sharding with the ROUTED (a2a) input dist —
+        # the config whose cross-host DCN leg the prefetch pipeline
+        # exists to hide
+        plan = ShardingPlan({
+            "dlrm/embedding_bag_collection": {
+                f"t{i}": ParameterSharding(
+                    ShardingType.TABLE_ROW_WISE,
+                    host=i % max(1, env.num_hosts),
+                )
+                for i in range(NT)
+            }
+        })
+        fused = {"learning_rate": 0.1, "input_routing": "a2a"}
+    else:
+        plan = ShardingPlan({
+            "dlrm/embedding_bag_collection": {
+                f"t{i}": ParameterSharding(ShardingType.ROW_WISE)
+                for i in range(NT)
+            }
+        })
+        fused = {"learning_rate": 0.1}
     dmp = DistributedModelParallel(
         model, env=env, plan=plan,
         fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
-        fused_params={"learning_rate": 0.1},
+        fused_params=fused,
         dense_optimizer=optax.sgd(0.05),
     )
     rng = np.random.RandomState(0)
@@ -217,8 +233,10 @@ def mode_hlo(n_devices, prefetch=False, topology=None, config="toy",
         )
     import functools
 
-    if config == "bench":
-        builder = functools.partial(_build_bench_step, rows=rows)
+    if config in ("bench", "hier"):
+        builder = functools.partial(
+            _build_bench_step, rows=rows, hier_a2a=config == "hier"
+        )
     else:
         builder = _build_step
 
@@ -226,10 +244,12 @@ def mode_hlo(n_devices, prefetch=False, topology=None, config="toy",
     # AOT-targeting a topology at bench/HBM scale, read the specs off a
     # SMALL concrete twin and take full-rows shapes from eval_shape, so
     # the host never materializes GB-scale tables it immediately discards.
-    shrink = bool(topology) and config == "bench"
+    shrink = bool(topology) and config in ("bench", "hier")
     spec_builder = (
-        functools.partial(_build_bench_step, rows=2048) if shrink
-        else builder
+        functools.partial(
+            _build_bench_step, rows=2048, hier_a2a=config == "hier"
+        )
+        if shrink else builder
     )
     step, state, batch, dmp = spec_builder(n_devices, local_size=t_local)
     # concrete dists carry the REAL output NamedShardings of the jitted
@@ -501,9 +521,11 @@ def main():
              "— TPU-scheduled HLO without TPU hardware",
     )
     p.add_argument(
-        "--config", choices=["toy", "bench"], default="toy",
+        "--config", choices=["toy", "bench", "hier"], default="toy",
         help="toy: small mixed-sharding model; bench: the bench.py "
-             "flagship shapes (26x100k x128 RW, B=8192)",
+             "flagship shapes (26x100k x128 RW, B=8192); hier: the same "
+             "shapes TWRW-sharded with the routed (a2a) input dist — "
+             "the cross-host DCN leg the prefetch pipeline hides",
     )
     p.add_argument(
         "--rows", type=int, default=None,
