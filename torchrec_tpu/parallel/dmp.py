@@ -686,8 +686,10 @@ class DistributedModelParallel:
         # uncommitted scalar otherwise triggers a full second compile when
         # it comes back NamedSharding'd after step 1).
         def commit(x):
+            # getattr: tracers have no .sharding (init may run under
+            # eval_shape/jit for AOT analysis — constrain instead)
             if isinstance(x, jax.Array) and isinstance(
-                x.sharding, NamedSharding
+                getattr(x, "sharding", None), NamedSharding
             ):
                 return x
             return jax.device_put(x, rep)

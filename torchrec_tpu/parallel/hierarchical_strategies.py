@@ -119,27 +119,24 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
 
-    def shard_from_dense(self, dense, dtype=None):
-        arr = np.zeros((self.n, self.rows_loc, self.dim), np.float32)
+    def _pack_dense(self, dense, dtype=None):
+        arr = jnp.zeros((self.n, self.rows_loc, self.dim), jnp.float32)
         for h, tids in enumerate(self.per_host):
             for ti in tids:
                 t = self.meta.tables[ti]
                 sr = int(self.table_sr[ti])
                 off = self.table_local_off[ti]
-                w = np.asarray(dense[t.name])
+                w = jnp.asarray(dense[t.name], jnp.float32)
                 pad = sr * self.Lc - t.rows
                 if pad:
-                    w = np.concatenate(
-                        [w, np.zeros((pad, t.dim), w.dtype)], axis=0
+                    w = jnp.concatenate(
+                        [w, jnp.zeros((pad, t.dim), w.dtype)], axis=0
                     )
                 for l in range(self.Lc):
-                    arr[h * self.Lc + l, off : off + sr] = (
+                    arr = arr.at[h * self.Lc + l, off : off + sr].set(
                         w[l * sr : (l + 1) * sr]
                     )
-        return jax.device_put(
-            jnp.asarray(arr).astype(dtype or self.w_dtype),
-            self._sharding(P(AXIS)),
-        )
+        return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -535,18 +532,18 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
     def weights_shape(self):
         return (self.n, self.rows_loc, self.cols_loc)
 
-    def shard_from_dense(self, dense, dtype=None):
-        arr = np.zeros((self.n, self.rows_loc, self.cols_loc), np.float32)
+    def _pack_dense(self, dense, dtype=None):
+        arr = jnp.zeros((self.n, self.rows_loc, self.cols_loc), jnp.float32)
         for h, tids in enumerate(self.per_host):
             for ti in tids:
                 t = self.meta.tables[ti]
                 off = self.table_local_off[ti]
-                w = np.asarray(dense[t.name])
+                w = jnp.asarray(dense[t.name], jnp.float32)
                 for l in range(self.Lc):
-                    arr[h * self.Lc + l, off : off + t.rows] = (
+                    arr = arr.at[h * self.Lc + l, off : off + t.rows].set(
                         w[:, l * self.cols_loc : (l + 1) * self.cols_loc]
                     )
-        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
+        return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)

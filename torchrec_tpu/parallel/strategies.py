@@ -142,15 +142,28 @@ class BaseEmbeddingShardingStrategy:
         return NamedSharding(self.env.mesh, spec)
 
     def init_weights(self, key: jax.Array) -> Array:
-        """Init each table with its own uniform bound, then shard."""
-        dense = {}
-        for i, t in enumerate(self.meta.tables):
-            dense[t.name] = np.asarray(
-                _uniform_init(
-                    jax.random.fold_in(key, i), (t.rows, t.dim), t.rows
+        """Init each table with its own uniform bound, then shard.
+
+        Init + packing run INSIDE one jitted program whose output is
+        already sharded, so XLA materializes each device's SHARD only —
+        no host staging of full tables (at the 97 GiB MLPerf scale,
+        host-side init would OOM one machine; the reference reaches the
+        same property via meta-device init + per-shard reset,
+        model_parallel.py:343-364). Also makes DMP.init fully traceable
+        (jax.eval_shape) for AOT analysis tooling."""
+
+        def build(k):
+            dense = {
+                t.name: _uniform_init(
+                    jax.random.fold_in(k, i), (t.rows, t.dim), t.rows
                 )
-            )
-        return self.shard_from_dense(dense)
+                for i, t in enumerate(self.meta.tables)
+            }
+            return self._pack_dense(dense)
+
+        return jax.jit(
+            build, out_shardings=self._sharding(self.weights_pspec())
+        )(key)
 
     def init_opt(self) -> FusedOptimizerState:
         from torchrec_tpu.ops.fused_update import fused_state_shapes
@@ -181,13 +194,23 @@ class BaseEmbeddingShardingStrategy:
             weights=self.init_weights(key), opt=self.init_opt()
         )
 
+    def _pack_dense(self, dense: Dict[str, Array], dtype=None) -> Array:
+        """Traceable (pure-jnp) packing of per-table [R_t, D] arrays into
+        this strategy's weights layout. Consumed by init_weights (traced,
+        sharded out) and shard_from_dense (host arrays)."""
+        raise NotImplementedError
+
     def shard_from_dense(
         self, dense: Dict[str, np.ndarray], dtype=None
     ) -> Array:
-        """Sharded array from unsharded per-table arrays. `dtype` defaults
-        to the table storage dtype; pass jnp.float32 when sharding
-        optimizer state (momentum never lives in bf16)."""
-        raise NotImplementedError
+        """Sharded array from unsharded per-table arrays (checkpoint
+        load / golden tests — the full tables already exist on host).
+        `dtype` defaults to the table storage dtype; pass jnp.float32
+        when sharding optimizer state (momentum never lives in bf16)."""
+        return jax.jit(
+            partial(self._pack_dense, dtype=dtype),
+            out_shardings=self._sharding(self.weights_pspec()),
+        )(dense)
 
     def unshard_to_dense(self, weights: Array) -> Dict[str, np.ndarray]:
         raise NotImplementedError
@@ -510,14 +533,11 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_pspec(self) -> P:
         return P()
 
-    def shard_from_dense(self, dense, dtype=None):
-        arr = np.concatenate(
-            [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
+    def _pack_dense(self, dense, dtype=None):
+        arr = jnp.concatenate(
+            [jnp.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )
-        return jax.device_put(
-            jnp.asarray(arr).astype(dtype or self.w_dtype),
-            self._sharding(P()),
-        )
+        return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -637,19 +657,19 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
 
-    def shard_from_dense(self, dense, dtype=None):
+    def _pack_dense(self, dense, dtype=None):
         n = self.n
         parts = []
         for sr, t in zip(self.shard_rows, self.meta.tables):
-            w = np.asarray(dense[t.name])
+            w = jnp.asarray(dense[t.name])
             pad = int(sr) * n - t.rows
             if pad:
-                w = np.concatenate(
-                    [w, np.zeros((pad,) + w.shape[1:], w.dtype)], axis=0
+                w = jnp.concatenate(
+                    [w, jnp.zeros((pad,) + w.shape[1:], w.dtype)], axis=0
                 )
             parts.append(w.reshape(n, int(sr), *w.shape[1:]))
-        arr = np.concatenate(parts, axis=1)  # [n, rows_loc, D]
-        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
+        arr = jnp.concatenate(parts, axis=1)  # [n, rows_loc, D]
+        return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)  # [n, rows_loc, D]
@@ -879,15 +899,17 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.rows_max, self.dim)
 
-    def shard_from_dense(self, dense, dtype=None):
-        arr = np.zeros((self.n, self.rows_max, self.dim), np.float32)
+    def _pack_dense(self, dense, dtype=None):
+        arr = jnp.zeros((self.n, self.rows_max, self.dim), jnp.float32)
         for d, tids in enumerate(self.per_dev):
             off = 0
             for ti in tids:
                 t = self.meta.tables[ti]
-                arr[d, off : off + t.rows] = np.asarray(dense[t.name])
+                arr = arr.at[d, off : off + t.rows].set(
+                    jnp.asarray(dense[t.name], jnp.float32)
+                )
                 off += t.rows
-        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
+        return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)
@@ -1107,12 +1129,13 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
     def weights_shape(self):
         return (self.n, self.total_rows, self.cols_loc)
 
-    def shard_from_dense(self, dense, dtype=None):
-        arr = np.concatenate(
-            [np.asarray(dense[t.name]) for t in self.meta.tables], axis=0
+    def _pack_dense(self, dense, dtype=None):
+        arr = jnp.concatenate(
+            [jnp.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )  # [R, D]
-        arr = np.stack(np.split(arr, self.n, axis=1), axis=0)  # [n, R, D/n]
-        return jax.device_put(jnp.asarray(arr).astype(dtype or self.w_dtype), self._sharding(P(AXIS)))
+        # [n, R, D/n]: column block j of every row -> device j
+        arr = jnp.stack(jnp.split(arr, self.n, axis=1), axis=0)
+        return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
         w = np.asarray(weights)  # [n, R, D/n]
