@@ -90,13 +90,14 @@ def _probe_backend(timeout_s=240, retries=1):
     return None
 
 
-def _build(optim_name, rows, per_table_rows=None):
+def _build(optim_name, rows, per_table_rows=None, data_type=None):
     import jax
     import jax.numpy as jnp
     import optax
 
     from torchrec_tpu.models import DLRM, DLRMTrain
     from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.modules.embedding_configs import DataType
     from torchrec_tpu.ops.fused_update import EmbOptimType
     from torchrec_tpu.parallel import (
         DistributedModelParallel,
@@ -115,6 +116,7 @@ def _build(optim_name, rows, per_table_rows=None):
         EmbeddingBagConfig(
             num_embeddings=row_list[i], embedding_dim=DIM, name=f"t{i}",
             feature_names=[f"f{i}"],
+            data_type=data_type or DataType.FP32,
         )
         for i in range(NUM_TABLES)
     )
@@ -461,6 +463,24 @@ def main():
 
         return run
 
+    def _bf16():
+        # Beyond-parity TPU lever: bf16 embedding storage (stochastic-
+        # rounded fused updates) halves gather/stream bytes; the f32
+        # headline stays the parity number (the reference's MLPerf run
+        # is fp32 tables, README.MD:45) — this shows what the TPU-native
+        # stack gains when the user opts into bf16.
+        from torchrec_tpu.modules.embedding_configs import DataType
+
+        ex = _throughput(
+            _build("exact_sgd", ROWS, data_type=DataType.BF16), ROWS
+        )
+        return {
+            "value": round(ex, 1),
+            "vs_baseline": round(ex / BASELINE_PER_GPU, 4),
+            "config": "bf16 embedding tables + stochastic rounding "
+                      "(f32 parity number is the headline)",
+        }
+
     def _zipf():
         z = _throughput(_build("exact_sgd", ROWS), ROWS, zipf_a=1.05)
         return {
@@ -485,6 +505,7 @@ def main():
     suite("pod_shard", 240, _pod_shard("exact_sgd"))
     suite("pod_shard_rowwise", 240, _pod_shard("rowwise_adagrad"))
     suite("rowwise_breakdown", 240, _rowwise_breakdown)
+    suite("headline_bf16", 240, _bf16)
     suite("zipf", 240, _zipf)
     suite("lookup_roofline", 180, _lookup_roofline)
     suite("hbm_scale", 600, _hbm)
