@@ -769,7 +769,13 @@ def rowwise_momentum_stream(
         window_rows = int(
             min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2))
         )
-    KR = window_rows
+    # Mosaic DMA windows into the [*, 128] id/gsq/scale arrays must be
+    # whole (8, 128) f32/int32 tiles: a non-multiple-of-8 sublane window
+    # at a dynamic row offset FAULTS the TPU worker (found on-chip at
+    # the pod-shard shapes, where the expectation sizing picked KR=13;
+    # KR=16 at the same shapes runs fine — interpret mode can't see
+    # this). Round up; extra rows are slack (less overflow, same math).
+    KR = -(-int(window_rows) // 8) * 8
 
     m2d = jnp.pad(momentum, (0, Rp - R)).reshape(Rp // 128, 128)
     # pad ids to a lane multiple plus KR slack rows of sentinels
