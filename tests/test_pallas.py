@@ -275,6 +275,41 @@ def test_rowwise_momentum_stream_overflow_flag(rng):
     )
 
 
+def test_momentum_stream_window_whole_tile():
+    """Dynamically-offset DMA windows must be whole (8,128) tiles: the
+    pod-shard shape (R=3,190,449, N=26x8192, TB=64) sized its window to
+    13 sublane rows and FAULTED the TPU worker at runtime (NOTES_r3).
+    Pin the shared round-up helper and the sizing path that hit it."""
+    # the helper: every raw size rounds UP to a multiple of 8
+    for raw, want in [(1, 8), (8, 8), (13, 16), (16, 16), (65, 72)]:
+        got = pe.momentum_stream_window_rows(raw)
+        assert got == want and got % 8 == 0
+    # the exact expectation-sizing arithmetic for the faulting shape
+    R, N, TB = 3_190_449, 26 * 8192, 64
+    block_rows = TB * 128
+    Rp = max(1, -(-R // block_rows)) * block_rows
+    mean_occ = N * block_rows / Rp
+    raw = int(min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2)))
+    assert raw == 13  # the pre-fix faulting window
+    assert pe.momentum_stream_window_rows(raw) == 16
+    # end-to-end: the kernel path at a shrunken same-ratio shape picks a
+    # whole-tile window and is exact (interpret mode checks the math)
+    rng2 = np.random.RandomState(3)
+    Rs = block_rows * 4 + 977  # ragged tail like the pod shape
+    n = 1700
+    uids = np.sort(rng2.choice(Rs, size=n, replace=False)).astype(np.int32)
+    gsq = rng2.rand(n).astype(np.float32)
+    m0 = rng2.rand(Rs).astype(np.float32)
+    new_m, inv, ovf = pe.rowwise_momentum_stream(
+        jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
+        interpret=True,
+    )
+    if not bool(ovf):
+        ref = m0.copy()
+        ref[uids] += gsq
+        np.testing.assert_allclose(np.asarray(new_m), ref, rtol=1e-6)
+
+
 def test_mom_stream_zipf_duplicates_fall_back_correctly(monkeypatch):
     """Duplicate-rich Zipf-like ids overflow the expectation window;
     the apply_fused_update cond must still produce the exact XLA-path

@@ -14,16 +14,20 @@ is unexplained. This tool times each candidate in isolation ON THE CHIP:
   C  apply_fused_update EXACT_SGD alone at R=3.19M (scatter floor)
   D  forward row gather alone at R=3.19M
   E  RandomRecDataset device_batch_fn alone at pod hash_sizes
-  F  B=8192 DLRM dense arches alone (no sparse)
+  F  full fused gen+train step at the bench config (26 x 100k uniform
+     rows) — the reference point the pod configs are compared against,
+     NOT a dense-only isolation (the dense arches are identical in all
+     three full-step runs, so A-B and B-F differences bracket them)
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_pod_shard_r3.py
+Run: python tools/bench_pod_shard_r3.py   (any cwd / invocation style)
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench_config import (
     B,
@@ -119,8 +123,8 @@ def main():
     )
     print(f"E batch gen alone: {t*1e3:.3f} ms", flush=True)
 
-    # F: dense arches alone — reuse the bench model minus sparse by
-    # timing the bench-config full step as the reference point
+    # F: the bench-config full step (reference point; same dense arches
+    # as A/B, so their delta is sparse-side only)
     full_step([100_000] * NUM_TABLES, "F full step, bench config (ref)")
 
 

@@ -723,6 +723,23 @@ def _rowwise_mom_stream_kernel(
     ).wait()
 
 
+def momentum_stream_window_rows(window_rows: int) -> int:
+    """Round a contribution-window size up to whole (8, 128) DMA tiles.
+
+    Mosaic DMA windows into the [*, 128] id/gsq/scale arrays must be
+    whole (8, 128) f32/int32 tiles: a non-multiple-of-8 sublane window
+    at a DYNAMIC row offset FAULTS the TPU worker (found on-chip at the
+    pod-shard shapes, where the expectation sizing picked KR=13; KR=16
+    at the same shapes runs fine — neither interpret mode nor AOT
+    compilation catches it, the fault is at runtime). Extra rows are
+    pure slack: strictly less overflow, same math. EVERY dynamically-
+    offset window size in this module must pass through this helper.
+    """
+    kr = -(-int(window_rows) // 8) * 8
+    assert kr % 8 == 0 and kr >= 8
+    return kr
+
+
 def rowwise_momentum_stream(
     momentum: Array,
     uids: Array,
@@ -769,13 +786,7 @@ def rowwise_momentum_stream(
         window_rows = int(
             min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2))
         )
-    # Mosaic DMA windows into the [*, 128] id/gsq/scale arrays must be
-    # whole (8, 128) f32/int32 tiles: a non-multiple-of-8 sublane window
-    # at a dynamic row offset FAULTS the TPU worker (found on-chip at
-    # the pod-shard shapes, where the expectation sizing picked KR=13;
-    # KR=16 at the same shapes runs fine — interpret mode can't see
-    # this). Round up; extra rows are slack (less overflow, same math).
-    KR = -(-int(window_rows) // 8) * 8
+    KR = momentum_stream_window_rows(window_rows)
 
     m2d = jnp.pad(momentum, (0, Rp - R)).reshape(Rp // 128, 128)
     # pad ids to a lane multiple plus KR slack rows of sentinels
@@ -802,6 +813,9 @@ def rowwise_momentum_stream(
     wrows = starts // 128
     overflowed = jnp.any(ends > wrows * 128 + KR * 128)
 
+    # dynamically-offset DMA windows of KR sublane rows: whole-tile or
+    # the TPU worker faults at runtime (see momentum_stream_window_rows)
+    assert KR % 8 == 0, KR
     new_m2d, sc2d = pl.pallas_call(
         functools.partial(
             _rowwise_mom_stream_kernel, TB=TB, KR=KR, R=R, eps=float(eps)
