@@ -92,21 +92,30 @@ def main():
         float(loss)
     time.sleep(1)
 
+    import collections
+
     from tools.parse_trace import load_ops
 
-    ops = load_ops(tmp)
+    ops = load_ops(tmp)  # one entry per (name, ts) EVENT
     tot = sum(d for _, d in ops)
     if not tot:
         print(f"no XLA Ops lane events under {tmp}")
         return
+    agg = collections.defaultdict(lambda: [0.0, 0])
+    for name, dur in ops:
+        agg[name][0] += dur
+        agg[name][1] += 1
     print(
-        f"trace: {len(ops)} distinct ops, {tot/steps/1e3:.3f} ms/step "
-        f"over {steps} steps"
+        f"trace: {len(agg)} distinct ops ({len(ops)} events), "
+        f"{tot/steps/1e3:.3f} ms/step over {steps} steps"
     )
-    for name, dur in sorted(ops, key=lambda x: -x[1]):
-        if dur / tot < 0.01:
+    for name, (dur, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        if dur / tot < 0.003:
             break
-        print(f"  {dur/steps/1e3:8.4f} ms/step  {100*dur/tot:5.1f}%  {name}")
+        print(
+            f"  {dur/steps/1e3:8.4f} ms/step ({cnt/steps:5.1f}x "
+            f"{dur/cnt/1e3:7.4f} ms)  {100*dur/tot:5.1f}%  {name}"
+        )
 
 
 if __name__ == "__main__":

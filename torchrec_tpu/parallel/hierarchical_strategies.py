@@ -41,6 +41,7 @@ from torchrec_tpu.parallel.strategies import (
     BaseEmbeddingShardingStrategy,
     EmbeddingGroupState,
     _cdiv,
+    _pad_rows_tile,
     _token_mask,
 )
 from torchrec_tpu.parallel.types import ShardingType
@@ -88,11 +89,11 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         self.table_sr = np.asarray(
             [_cdiv(t.rows, Lc) for t in self.meta.tables], np.int32
         )
-        self.rows_loc = max(
+        self.rows_loc = _pad_rows_tile(max(
             (sum(int(self.table_sr[ti]) for ti in tids)
              for tids in per_host),
             default=1,
-        ) or 1
+        ) or 1)
 
         F = len(self.meta.features)
         self.host_feats = np.zeros((H, self.f_max), np.int32)
@@ -507,11 +508,11 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             )
         self.cols_loc = self.dim // self.Lc
         # rows are NOT split: local offset = concat of full tables per host
-        self.rows_loc = max(
+        self.rows_loc = _pad_rows_tile(max(
             (sum(self.meta.tables[ti].rows for ti in tids)
              for tids in self.per_host),
             default=1,
-        ) or 1
+        ) or 1)
         off_map: Dict[int, int] = {}
         for h, tids in enumerate(self.per_host):
             off = 0

@@ -82,6 +82,26 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# Packed group operands pad their per-device row count to this tile.
+# WHY (measured on v5e, r4): XLA's entry-layout assignment gives a big
+# [n, rows, D] parameter the row-granular {.., T(1,128)} layout while the
+# in-step gather/scatter run in the standard T(8,128) tiling. The two
+# layouts are BYTE-IDENTICAL when rows is a multiple of the sublane tile
+# (8 f32 / 16 bf16 / 32 int8) — the "conversions" are free bitcasts — but
+# at an unaligned row count XLA materializes two whole-operand copies per
+# step (2 x 5 ms at the 1.52 GiB pod-shard operand: copy.49 +
+# copy_bitcast_fusion in tools/trace_pod_r4.py; reproduced offline by
+# tools/hlo_step_r4.py, where +7 pad rows removed both). 128 covers every
+# dtype's sublane tile and keeps 1-D rowwise-momentum views whole-lane;
+# the slack (< 128 rows) is unaddressable by construction, exactly like
+# the existing per-shard pad rows.
+ROW_TILE = 128
+
+
+def _pad_rows_tile(rows: int) -> int:
+    return -(-int(rows) // ROW_TILE) * ROW_TILE
+
+
 class BaseEmbeddingShardingStrategy:
     """One table-group sharded one way on one mesh."""
 
@@ -523,7 +543,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         for i, t in enumerate(self.meta.tables):
             self.row_offsets[i] = acc
             acc += t.rows
-        self.total_rows = acc
+        self.total_rows = _pad_rows_tile(acc)
         ft = self.meta.feature_table
         self.feat_row_off = self.row_offsets[ft]  # [F]
 
@@ -537,6 +557,12 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         arr = jnp.concatenate(
             [jnp.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )
+        tail = self.total_rows - arr.shape[0]  # ROW_TILE alignment slack
+        if tail:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((tail,) + arr.shape[1:], arr.dtype)],
+                axis=0,
+            )
         return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
@@ -557,6 +583,9 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
             [np.asarray(per_table[t.name], np.float32)
              for t in self.meta.tables]
         )
+        tail = self.total_rows - arr.shape[0]
+        if tail:
+            arr = np.concatenate([arr, np.zeros((tail,), arr.dtype)])
         return jax.device_put(jnp.asarray(arr), self._sharding(P()))
 
     def _local_ids(self, sb: PaddedSparseBatch):
@@ -649,7 +678,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         for i, sr in enumerate(self.shard_rows):
             self.local_offsets[i] = acc
             acc += int(sr)
-        self.rows_loc = acc
+        self.rows_loc = _pad_rows_tile(acc)
         ft = self.meta.feature_table
         self.feat_shard_rows = self.shard_rows[ft]
         self.feat_local_off = self.local_offsets[ft]
@@ -668,7 +697,13 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                     [w, jnp.zeros((pad,) + w.shape[1:], w.dtype)], axis=0
                 )
             parts.append(w.reshape(n, int(sr), *w.shape[1:]))
-        arr = jnp.concatenate(parts, axis=1)  # [n, rows_loc, D]
+        arr = jnp.concatenate(parts, axis=1)  # [n, sum(shard_rows), D]
+        tail = self.rows_loc - arr.shape[1]  # ROW_TILE alignment slack
+        if tail:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((n, tail) + arr.shape[2:], arr.dtype)],
+                axis=1,
+            )
         return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
@@ -698,7 +733,12 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             if pad:
                 v = np.concatenate([v, np.zeros((pad,), v.dtype)])
             parts.append(v.reshape(n, int(sr)))
-        arr = np.concatenate(parts, axis=1)  # [n, rows_loc]
+        arr = np.concatenate(parts, axis=1)  # [n, sum(shard_rows)]
+        tail = self.rows_loc - arr.shape[1]
+        if tail:
+            arr = np.concatenate(
+                [arr, np.zeros((n, tail), arr.dtype)], axis=1
+            )
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def _route(self, ids_g: Array, lengths_g: Array, my: Array, L: int):
@@ -869,10 +909,10 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             (sum(len(feats_of_table[ti]) for ti in tids) for tids in per_dev),
             default=1,
         ) or 1
-        self.rows_max = max(
+        self.rows_max = _pad_rows_tile(max(
             (sum(self.meta.tables[ti].rows for ti in tids) for tids in per_dev),
             default=1,
-        ) or 1
+        ) or 1)
 
         # [n, f_max]: feature id per (device, slot); pad slot -> feature 0,
         # masked out via dev_feat_valid
@@ -1123,7 +1163,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         for i, t in enumerate(self.meta.tables):
             self.row_offsets[i] = acc
             acc += t.rows
-        self.total_rows = acc
+        self.total_rows = _pad_rows_tile(acc)
         self.feat_row_off = self.row_offsets[self.meta.feature_table]
 
     def weights_shape(self):
@@ -1133,6 +1173,11 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         arr = jnp.concatenate(
             [jnp.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )  # [R, D]
+        tail = self.total_rows - arr.shape[0]  # ROW_TILE alignment slack
+        if tail:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((tail, arr.shape[1]), arr.dtype)], axis=0
+            )
         # [n, R, D/n]: column block j of every row -> device j
         arr = jnp.stack(jnp.split(arr, self.n, axis=1), axis=0)
         return arr.astype(dtype or self.w_dtype)
@@ -1161,7 +1206,12 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             [np.atleast_2d(np.asarray(per_table[t.name], np.float32))
              for t in self.meta.tables],
             axis=1,
-        )  # [n, total_rows]  (1-D input = the n == 1 plain-row case)
+        )  # [n, sum rows]  (1-D input = the n == 1 plain-row case)
+        tail = self.total_rows - arr.shape[1]
+        if tail:
+            arr = np.concatenate(
+                [arr, np.zeros((arr.shape[0], tail), arr.dtype)], axis=1
+            )
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     supports_input_dist = True
