@@ -61,13 +61,15 @@ def main():
         mode="fill", fill_value=0.0, indices_are_sorted=True,
     )
 
-    def time_scatter(tag, ids_np, **kw):
+    def time_scatter(tag, ids_np, _set=False, **kw):
         ids0 = jnp.asarray(ids_np)
 
         def upd(c):
             w, ids = c
             g = jnp.full((N, DIM), 1e-6, jnp.float32)
-            nw = w.at[ids].add(g, **kw)
+            nw = (
+                w.at[ids].set(g, **kw) if _set else w.at[ids].add(g, **kw)
+            )
             bump = (nw[0, 0] > -1.0).astype(jnp.int32)
             return (nw, (ids + bump) % R)
 
@@ -83,11 +85,47 @@ def main():
         mode="drop", indices_are_sorted=True,
     )
     time_scatter("drop, unsorted ids", ids_u, mode="drop")
+    ids_uq = np.sort(rng.choice(R, N, replace=False)).astype(np.int32)
     time_scatter(
-        "drop+unique+hint, sorted unique ids",
-        np.sort(rng.choice(R, N, replace=False)).astype(np.int32),
+        "drop+unique+hint, sorted unique ids", ids_uq,
         mode="drop", indices_are_sorted=True, unique_indices=True,
     )
+    time_scatter(
+        "SET drop+unique+hint, sorted unique", ids_uq,
+        mode="drop", indices_are_sorted=True, unique_indices=True,
+        _set=True,
+    )
+
+    # block scatters: is the cost per-INDEX or per-byte? scatter [Ng, G, D]
+    # row-groups (ids = group indices into w viewed [R/G, G, D])
+    for G in (8, 16, 64):
+        Rg = R // G
+        # unique sorted group ids covering ~ the same touched-row count
+        ng = min(Rg, int(Rg * (1.0 - np.exp(-N / Rg))))
+        gids = np.sort(rng.choice(Rg, size=ng, replace=False)).astype(
+            np.int32
+        )
+        gid0 = jnp.asarray(gids)
+        wg0 = jnp.zeros((Rg, G, DIM), jnp.float32) + 0.01
+
+        def upd_blk(c, G=G, ng=ng, Rg=Rg):
+            w, ids = c
+            g = jnp.full((ng, G, DIM), 1e-6, jnp.float32)
+            nw = w.at[ids].add(
+                g, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+            bump = (nw[0, 0, 0] > -1.0).astype(jnp.int32)
+            return (nw, (ids + bump) % Rg)
+
+        t = bench_chain(upd_blk, (wg0, gid0), k1=3, k2=15, donate=True)
+        mb = ng * G * DIM * 4 * 2 / 2**20
+        print(
+            f"scatter block G={G:<3} ng={ng:>7,}          {t*1e3:7.3f} ms"
+            f" ({t/ng*1e9:6.1f} ns/blk, {mb/t/1e3:6.1f} GB/s rmw)",
+            flush=True,
+        )
+        del wg0, gid0
 
 
 if __name__ == "__main__":
