@@ -18,7 +18,9 @@ import sys
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np  # noqa: E402
 

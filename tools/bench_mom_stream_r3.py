@@ -15,11 +15,14 @@ own process if OOM appears (jit constant caches pin tables).
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():

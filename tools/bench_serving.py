@@ -11,11 +11,14 @@ JAX_PLATFORMS=cpu.
 """
 
 import argparse
+import os
 import sys
 import threading
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():

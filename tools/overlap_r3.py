@@ -27,11 +27,14 @@ Usage:
 
 import argparse
 import re
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def _build_step(n_devices, devices=None, do_init=True, local_size=None):

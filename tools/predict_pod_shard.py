@@ -13,9 +13,12 @@ single-chip run does NOT pay — both predictions are printed).
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from bench_config import (
     B,
