@@ -284,14 +284,26 @@ def test_momentum_stream_window_whole_tile():
     for raw, want in [(1, 8), (8, 8), (13, 16), (16, 16), (65, 72)]:
         got = pe.momentum_stream_window_rows(raw)
         assert got == want and got % 8 == 0
-    # the exact expectation-sizing arithmetic for the faulting shape
+    # the r3 expectation-sizing arithmetic (2.5 x mean) for the faulting
+    # shape picked 13 — any raw size must round to whole tiles
     R, N, TB = 3_190_449, 26 * 8192, 64
     block_rows = TB * 128
     Rp = max(1, -(-R // block_rows)) * block_rows
     mean_occ = N * block_rows / Rp
-    raw = int(min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2)))
-    assert raw == 13  # the pre-fix faulting window
-    assert pe.momentum_stream_window_rows(raw) == 16
+    raw_r3 = int(min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2)))
+    assert raw_r3 == 13  # the pre-fix faulting window
+    assert pe.momentum_stream_window_rows(raw_r3) == 16
+    # the r4 sizing (mean + 8 sigma + slack): the KR=8 floor binds at
+    # bench/pod/HBM shapes (halves the r3 dot cost, R x KR x 512 FLOP)
+    for Rx in (2_600_000, 3_190_528, 18_200_064):
+        Rpx = max(1, -(-Rx // block_rows)) * block_rows
+        kr = pe.momentum_stream_window_rows(pe._mom_window_rows(Rpx, N, TB))
+        assert kr == 8, (Rx, kr)
+    # small tables need bigger windows; still whole-tile
+    kr_small = pe.momentum_stream_window_rows(
+        pe._mom_window_rows(512 * 128, N, TB)
+    )
+    assert kr_small % 8 == 0 and kr_small > 8
     # end-to-end: the kernel path at a shrunken same-ratio shape picks a
     # whole-tile window and is exact (interpret mode checks the math)
     rng2 = np.random.RandomState(3)

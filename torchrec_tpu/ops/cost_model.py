@@ -47,19 +47,19 @@ def fused_update_s(rows_touched: float, operand_bytes: float) -> float:
     )
 
 
-# --- rowwise momentum side (r3) -------------------------------------------
+# --- rowwise momentum side (r3, re-measured r4) ----------------------------
 # XLA path = scalar scatter (~9.5 ns/elem) + 128-wide-row gather + one-hot
 # lane select (~0.8 ms at N=213k => ~3.8 ns/elem) + run-total overheads.
-# Streaming Pallas kernel (expectation-sized windows, TB=64 blocks) =
-# whole [R] momentum through VMEM tiles (stream, R-bound) + one-hot MXU
-# accumulate: 2 dots x TB x window x 128 MAC per block with window =
-# ~2.5 x mean occupancy => total ~= 2 x TB x 128 x 2.5 x 2 FLOP/elem
-# ~= 41 kFLOP per contribution (N-bound). PROVISIONAL until the r3 chip
-# campaign lands (tools/bench_mom_stream_r3.py); re-measure HERE only.
+# Streaming Pallas kernel (TB=64 blocks): MXU cost = nblocks x 2 loops x
+# KR x (TB x 128^2 x 2) MAC = R x KR x 512 FLOP — TB cancels, KR (the
+# whole-tile window size, pallas_embedding._mom_window_rows) is the only
+# knob. Measured r4 on chip: R=3.19M, KR=16 -> 1.99 ms => ~14 TFLOP/s
+# achieved on the kernel's [TB,128]@[128,128] f32 dots (v5e f32 MXU peak
+# ~49T; the small dot shapes underutilize it). Stream term: momentum
+# in+out + id/gsq/scale windows.
 MOM_XLA_NS_PER_ELEM = 13.5  # scatter 9.5 + wide-gather lane select ~4
 MOM_STREAM_BYTES_PER_ROW = 25.0  # m in+out (8) + id/gsq/scale windows
-MOM_STREAM_FLOP_PER_ELEM = 41.0e3  # one-hot dots, expectation windows
-MXU_F32_FLOPS_S = 45.0e12
+MOM_MXU_F32_FLOPS_S = 14.0e12  # achieved, r4 chip anchor
 MOM_STREAM_FIXED_S = 30.0e-6
 
 
@@ -68,11 +68,22 @@ def mom_xla_s(n_elems: float) -> float:
     return n_elems * MOM_XLA_NS_PER_ELEM * 1e-9
 
 
+def _mom_kr(table_rows: float, n_elems: float, TB: int = 64) -> int:
+    """Mirror of pallas_embedding._mom_window_rows + whole-tile rounding."""
+    block = TB * 128
+    Rp = max(block, -(-int(table_rows) // block) * block)
+    mean = n_elems * block / Rp
+    need = mean + 8.0 * (max(mean, 1.0) ** 0.5) + 64.0
+    raw = int(min(TB + 1, max(3, -(-need // 128))))
+    return -(-raw // 8) * 8
+
+
 def mom_stream_s(table_rows: float, n_elems: float = 213_000.0) -> float:
-    """Streaming Pallas rowwise-momentum kernel: R-bound stream +
-    N-bound one-hot accumulate."""
+    """Streaming Pallas rowwise-momentum kernel: R x KR x 512 FLOP of
+    one-hot dots + the R-bound VMEM stream."""
+    kr = _mom_kr(table_rows, n_elems)
     return (
-        table_rows * MOM_STREAM_BYTES_PER_ROW / STREAM_BW_BYTES_S
-        + n_elems * MOM_STREAM_FLOP_PER_ELEM / MXU_F32_FLOPS_S
+        table_rows * kr * 512.0 / MOM_MXU_F32_FLOPS_S
+        + table_rows * MOM_STREAM_BYTES_PER_ROW / STREAM_BW_BYTES_S
         + MOM_STREAM_FIXED_S
     )

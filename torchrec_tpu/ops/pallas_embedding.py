@@ -723,6 +723,23 @@ def _rowwise_mom_stream_kernel(
     ).wait()
 
 
+def _mom_window_rows(Rp: int, N: int, TB: int) -> int:
+    """Expected contribution-window size in 128-element sublane rows.
+
+    The kernel's MXU cost is nblocks x 2 x KR x (TB x 128^2 x 2) MAC =
+    R x KR x 512 FLOP — TB cancels, so KR is the ONLY cost knob
+    (measured r4: KR=16 at pod rows = 2.0 ms = ~13 TFLOP/s f32 MXU).
+    Size the window at mean + 8 sigma + 64 slack (per-block occupancy is
+    ~Poisson for uniform ids, so 8 sigma is unreachable; skewed/Zipf
+    distributions overflow and take the caller's lax.cond fallback,
+    same as before): the KR=8 whole-tile floor then binds for every
+    bench/pod/HBM shape, halving the r3 sizing's (2.5 x mean) dot cost.
+    """
+    mean_occ = N * TB * 128 / max(Rp, 1)
+    need = mean_occ + 8.0 * (max(mean_occ, 1.0) ** 0.5) + 64.0
+    return int(min(TB + 1, max(3, -(-need // 128))))
+
+
 def momentum_stream_window_rows(window_rows: int) -> int:
     """Round a contribution-window size up to whole (8, 128) DMA tiles.
 
@@ -782,10 +799,7 @@ def rowwise_momentum_stream(
     nblocks = max(1, -(-R // block_rows))
     Rp = nblocks * block_rows
     if window_rows is None:
-        mean_occ = N * block_rows / max(Rp, 1)
-        window_rows = int(
-            min(TB + 1, max(3, -(-2.5 * mean_occ // 128) + 2))
-        )
+        window_rows = _mom_window_rows(Rp, N, TB)
     KR = momentum_stream_window_rows(window_rows)
 
     m2d = jnp.pad(momentum, (0, Rp - R)).reshape(Rp // 128, 128)
