@@ -3,9 +3,9 @@ config — the decomposition (tools/bench_pod_shard_r3.py) left ~5 ms of
 the pod-shard step unexplained by the gather/scatter/gen isolations, so
 this dumps the real in-step op list sorted by time.
 
-  python tools/trace_pod_r4.py [pod|bench|hbm] [steps]
+  python tools/trace_pod_r4.py [pod|bench|hbm] [steps] [exact_sgd|rowwise_adagrad]
 
-Prints every XLA op >= 1% of step time with per-step ms.
+Prints every XLA op >= 0.3% of step time with per-step ms.
 """
 
 import os
@@ -42,6 +42,7 @@ def main():
 
     cfg = sys.argv[1] if len(sys.argv) > 1 else "pod"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    optim = sys.argv[3] if len(sys.argv) > 3 else "exact_sgd"
     if cfg == "pod":
         rows_list = [
             max(8, -(-c // POD_CHIPS)) for c in MLPERF_CARDINALITIES
@@ -50,9 +51,9 @@ def main():
         rows_list = [HBM_ROWS] * NUM_TABLES
     else:
         rows_list = [ROWS] * NUM_TABLES
-    print(f"config={cfg} rows={sum(rows_list):,}", flush=True)
+    print(f"config={cfg} optim={optim} rows={sum(rows_list):,}", flush=True)
 
-    dmp = bench_mod._build("exact_sgd", None, per_table_rows=rows_list)
+    dmp = bench_mod._build(optim, None, per_table_rows=rows_list)
 
     feats = [f"f{i}" for i in range(NUM_TABLES)]
     gen_fn = RandomRecDataset(
