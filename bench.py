@@ -31,7 +31,7 @@ the headline suite finishes; every later suite re-emits an enriched
 line, so the LAST line is always the most complete record; a watchdog
 thread force-emits whatever exists if the process overruns its budget;
 SIGTERM (driver `timeout`) triggers a final emission. Default budget
-TORCHREC_BENCH_BUDGET_S=540s. TORCHREC_BENCH_FAST=1 runs only the
+TORCHREC_BENCH_BUDGET_S=900s. TORCHREC_BENCH_FAST=1 runs only the
 headline.
 """
 
