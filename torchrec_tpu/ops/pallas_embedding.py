@@ -319,103 +319,70 @@ tbe_lookup_pooled.defvjp(_tbe_lookup_fwd, _tbe_lookup_bwd)
 # "outputs" are the same HBM buffers the inputs live in.
 
 
-def _db_rmw(ids_ref, T, R, streams, compute):
-    """Double-buffered unique-row RMW wave pipeline (r4).
+def _start_reads(uids_ref, base, T, R, srcs_dsts_sems):
+    # uids carry validity inline (sentinels >= R): OOB reads clip to the
+    # last row harmlessly; a separate valid array would double the SMEM
+    # prefetch footprint and overflow SMEM at N ~ 200k (832KB each)
+    def start(t, _):
+        i = jnp.minimum(uids_ref[base + t], R - 1)
+        for src, dst, sem in srcs_dsts_sems:
+            pltpu.make_async_copy(src(i), dst(t), sem.at[t]).start()
+        return _
 
-    streams: per RMW'd array a tuple (hbm_in_at, scratch, rsem, out_at,
-    wsem) where scratch is [2, T, D] VMEM and both semaphore arrays are
-    [2]-shaped — ONE shared DMA semaphore per (stream, slot): per-row
-    semaphores at 2 x T x streams blow the ~2KB sflag budget, and the
-    kernel only ever needs full-wave barriers, for which T sequential
-    waits on a shared semaphore are exact (each wait consumes one
-    copy's byte count; all T waits return only once the whole wave
-    landed). compute(slot) applies the optimizer math in place on
-    scratch[slot] for wave program_id(0).
+    jax.lax.fori_loop(0, T, start, None)
 
-    The r2/r3 form issued reads, waited, computed, issued writes, and
-    waited — fully serial per wave, measured ~67 ns/row at T=64 (the
-    two DMA descriptors alone cost ~30 ns/row to issue). Here wave k+1's
-    row reads are prefetched while wave k computes, and wave k's writes
-    drain under wave k+1's reads/compute, so the per-wave critical path
-    is max(issue, flight), not their sum. ids are UNIQUE (dedup_row_grads
-    runs before every Pallas dispatch), so a cross-wave row hazard
-    (wave k writing a row wave k+1 reads) cannot occur.
+    def wait(t, _):
+        i = jnp.minimum(uids_ref[base + t], R - 1)
+        for src, dst, sem in srcs_dsts_sems:
+            pltpu.make_async_copy(src(i), dst(t), sem.at[t]).wait()
+        return _
 
-    uids carry validity inline (sentinels >= R): OOB reads clip to the
-    last row harmlessly (a separate valid array would double the SMEM
-    prefetch footprint and overflow SMEM at N ~ 200k); writes are
-    predicated on id < R.
-    """
-    k = pl.program_id(0)
-    nw = pl.num_programs(0)
-    s_cur = jax.lax.rem(k, 2)
-    s_nxt = jax.lax.rem(k + 1, 2)
+    jax.lax.fori_loop(0, T, wait, None)
 
-    def reads(base, slot, do):
-        def body(t, _):
-            i = jnp.minimum(ids_ref[base + t], R - 1)
-            for hbm_at, scr, rsem, _o, _w in streams:
-                c = pltpu.make_async_copy(
-                    hbm_at(i), scr.at[slot, t], rsem.at[slot]
-                )
-                c.start() if do == "start" else c.wait()
-            return _
 
-        jax.lax.fori_loop(0, T, body, None)
+def _start_writes(uids_ref, base, T, R, srcs_dsts_sems):
+    def start(t, _):
+        @pl.when(uids_ref[base + t] < R)
+        def _w():
+            for src, dst, sem in srcs_dsts_sems:
+                pltpu.make_async_copy(
+                    src(t), dst(uids_ref[base + t]), sem.at[t]
+                ).start()
 
-    def writes(base, slot, do):
-        def body(t, _):
-            @pl.when(ids_ref[base + t] < R)
-            def _w():
-                for _h, scr, _r, out_at, wsem in streams:
-                    c = pltpu.make_async_copy(
-                        scr.at[slot, t],
-                        out_at(ids_ref[base + t]),
-                        wsem.at[slot],
-                    )
-                    c.start() if do == "start" else c.wait()
+        return _
 
-            return _
+    jax.lax.fori_loop(0, T, start, None)
 
-        jax.lax.fori_loop(0, T, body, None)
+    def wait(t, _):
+        @pl.when(uids_ref[base + t] < R)
+        def _w():
+            for src, dst, sem in srcs_dsts_sems:
+                pltpu.make_async_copy(
+                    src(t), dst(uids_ref[base + t]), sem.at[t]
+                ).wait()
 
-    @pl.when(k == 0)
-    def _prologue():
-        reads(0, 0, "start")
+        return _
 
-    # slot s_nxt is wave k-1's write source: drain it before reuse
-    @pl.when(k > 0)
-    def _drain_prev():
-        writes((k - 1) * T, s_nxt, "wait")
-
-    @pl.when(k + 1 < nw)
-    def _prefetch_next():
-        reads((k + 1) * T, s_nxt, "start")
-
-    reads(k * T, s_cur, "wait")
-    compute(s_cur)
-    writes(k * T, s_cur, "start")
-
-    @pl.when(k == nw - 1)
-    def _epilogue():
-        writes(k * T, s_cur, "wait")
+    jax.lax.fori_loop(0, T, wait, None)
 
 
 def _sgd_kernel(
     ids_ref, w_hbm, g_ref, lr_ref, out_w, w_s, rsem, wsem,
     *, T, wd, R,
 ):
-    def compute(slot):
-        g = g_ref[:]
-        w = w_s[slot]
-        if wd:
-            g = g + wd * w
-        w_s[slot] = w - lr_ref[0, 0] * g
-
-    _db_rmw(
-        ids_ref, T, R,
-        [(lambda i: w_hbm.at[i], w_s, rsem, lambda i: out_w.at[i], wsem)],
-        compute,
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, base, T, R,
+        [(lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem)],
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    w_s[:] = w - lr_ref[0, 0] * g
+    _start_writes(
+        ids_ref, base, T, R,
+        [(lambda t: w_s.at[t], lambda i: out_w.at[i], wsem)],
     )
 
 
@@ -429,18 +396,19 @@ def _scaled_update_kernel(
     (8,128) HBM tiling constraint (r1's [R,1] view failed to compile on
     real v5e), and XLA's wide-row gather + scalar scatter beat per-row
     DMA descriptors anyway (tools/bench_rowwise_r2.py)."""
-
-    def compute(slot):
-        g = g_ref[:]
-        w = w_s[slot]
-        if wd:
-            g = g + wd * w
-        w_s[slot] = w + scale_ref[:] * g
-
-    _db_rmw(
-        ids_ref, T, R,
-        [(lambda i: w_hbm.at[i], w_s, rsem, lambda i: out_w.at[i], wsem)],
-        compute,
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, base, T, R,
+        [(lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem)],
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    w_s[:] = w + scale_ref[:] * g
+    _start_writes(
+        ids_ref, base, T, R,
+        [(lambda t: w_s.at[t], lambda i: out_w.at[i], wsem)],
     )
 
 
@@ -448,23 +416,27 @@ def _adagrad_kernel(
     ids_ref, w_hbm, m_hbm, g_ref, lr_ref, out_w, out_m,
     w_s, m_s, rsem, rmsem, wsem, wmsem, *, T, eps, wd, R,
 ):
-    def compute(slot):
-        g = g_ref[:]
-        w = w_s[slot]
-        if wd:
-            g = g + wd * w
-        m_new = m_s[slot] + g * g
-        w_s[slot] = w - lr_ref[0, 0] * g / (jnp.sqrt(m_new) + eps)
-        m_s[slot] = m_new
-
-    _db_rmw(
-        ids_ref, T, R,
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, base, T, R,
         [
-            (lambda i: w_hbm.at[i], w_s, rsem, lambda i: out_w.at[i], wsem),
-            (lambda i: m_hbm.at[i], m_s, rmsem, lambda i: out_m.at[i],
-             wmsem),
+            (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
+            (lambda i: m_hbm.at[i], lambda t: m_s.at[t], rmsem),
         ],
-        compute,
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    m_new = m_s[:] + g * g
+    w_s[:] = w - lr_ref[0, 0] * g / (jnp.sqrt(m_new) + eps)
+    m_s[:] = m_new
+    _start_writes(
+        ids_ref, base, T, R,
+        [
+            (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
+            (lambda t: m_s.at[t], lambda i: out_m.at[i], wmsem),
+        ],
     )
 
 
@@ -474,30 +446,34 @@ def _adam_kernel(
     rsem, r1sem, r2sem, wsem, w1sem, w2sem,
     *, T, eps, wd, beta1, beta2, R,
 ):
-    def compute(slot):
-        g = g_ref[:]
-        w = w_s[slot]
-        if wd:
-            g = g + wd * w
-        m1 = beta1 * m1_s[slot] + (1.0 - beta1) * g
-        m2 = beta2 * m2_s[slot] + (1.0 - beta2) * g * g
-        # bc_ref holds [1/(1-b1^t), 1/(1-b2^t)] precomputed host-side
-        m1_hat = m1 * bc_ref[0, 0]
-        m2_hat = m2 * bc_ref[0, 1]
-        w_s[slot] = w - lr_ref[0, 0] * m1_hat / (jnp.sqrt(m2_hat) + eps)
-        m1_s[slot] = m1
-        m2_s[slot] = m2
-
-    _db_rmw(
-        ids_ref, T, R,
+    base = pl.program_id(0) * T
+    _start_reads(
+        ids_ref, base, T, R,
         [
-            (lambda i: w_hbm.at[i], w_s, rsem, lambda i: out_w.at[i], wsem),
-            (lambda i: m1_hbm.at[i], m1_s, r1sem,
-             lambda i: out_m1.at[i], w1sem),
-            (lambda i: m2_hbm.at[i], m2_s, r2sem,
-             lambda i: out_m2.at[i], w2sem),
+            (lambda i: w_hbm.at[i], lambda t: w_s.at[t], rsem),
+            (lambda i: m1_hbm.at[i], lambda t: m1_s.at[t], r1sem),
+            (lambda i: m2_hbm.at[i], lambda t: m2_s.at[t], r2sem),
         ],
-        compute,
+    )
+    g = g_ref[:]
+    w = w_s[:]
+    if wd:
+        g = g + wd * w
+    m1 = beta1 * m1_s[:] + (1.0 - beta1) * g
+    m2 = beta2 * m2_s[:] + (1.0 - beta2) * g * g
+    # bc_ref holds [1/(1-b1^t), 1/(1-b2^t)] precomputed on the host side
+    m1_hat = m1 * bc_ref[0, 0]
+    m2_hat = m2 * bc_ref[0, 1]
+    w_s[:] = w - lr_ref[0, 0] * m1_hat / (jnp.sqrt(m2_hat) + eps)
+    m1_s[:] = m1
+    m2_s[:] = m2
+    _start_writes(
+        ids_ref, base, T, R,
+        [
+            (lambda t: w_s.at[t], lambda i: out_w.at[i], wsem),
+            (lambda t: m1_s.at[t], lambda i: out_m1.at[i], w1sem),
+            (lambda t: m2_s.at[t], lambda i: out_m2.at[i], w2sem),
+        ],
     )
 
 
@@ -538,9 +514,9 @@ def fused_update_sgd(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
@@ -639,9 +615,9 @@ def fused_update_rowwise_adagrad(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
@@ -935,12 +911,12 @@ def fused_update_adagrad(
                 pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
             ],
         ),
         out_shape=(
@@ -1008,15 +984,15 @@ def fused_update_adam(
                 pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.VMEM((2, T, D), weights.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.VMEM((T, D), weights.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
             ],
         ),
         out_shape=(
