@@ -6,12 +6,19 @@ campaign (NOTES_r2.md):
 * gather: ~8.6 ns per randomly-addressed 512B row, independent of table
   size;
 * XLA scatter: rewrites the WHOLE operand — max(~26 ns/row dispatch,
-  2 x operand_bytes / 630 GB/s stream);
+  2 x operand_bytes / 630 GB/s stream). The stream term was re-measured
+  r4 AFTER the 128-row operand padding fix (which removed the separate
+  whole-operand LAYOUT copies at unaligned row counts): it is intrinsic
+  — 626 GB/s equivalent at an 8.68 GiB operand
+  (tools/bench_scatter_hbm_r4.py) — so the dispatch crossover at
+  operand_bytes ~ N x 21 KB stands;
 * Pallas per-row RMW: ~67 ns/row, table-size independent (wins beyond
-  the stream crossover, shard_bytes > N x ~21 KB).
+  the stream crossover). An r4 double-buffered variant measured ~103
+  ns/row and was reverted — the serial wave kernel IS the fast form.
 
-Re-measure with tools/bench_rowwise_r2.py + the NOTES_r2 follow-up
-scripts when the hardware generation changes; update HERE only.
+Re-measure with tools/bench_scatter_hbm_r4.py (scatter/RMW) and
+tools/bench_rowwise_r2.py when the hardware generation changes; update
+HERE only.
 """
 
 GATHER_NS_PER_ROW = 8.6
