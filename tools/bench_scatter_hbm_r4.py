@@ -67,7 +67,10 @@ def main():
     ap.add_argument("--ids", type=int, default=26 * 8192)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--pallas", action="store_true",
-                    help="also time the Pallas RMW SGD kernel per shape")
+                    help="also time a Pallas RMW kernel per shape")
+    ap.add_argument("--rmw-op", default="rowwise", choices=["rowwise", "sgd"],
+                    help="which Pallas RMW kernel --pallas times")
+    ap.add_argument("--T", type=int, default=128, help="RMW wave size")
     args = ap.parse_args()
 
     D = args.dim
@@ -106,16 +109,29 @@ def main():
         if args.pallas:
             from torchrec_tpu.ops import pallas_embedding as pe
 
-            mom = jax.jit(lambda: jnp.zeros((R,), jnp.float32))()
             w = jax.jit(lambda: jnp.zeros((R, D), jnp.float32))()
+            if args.rmw_op == "rowwise":
+                mom = jax.jit(lambda: jnp.zeros((R,), jnp.float32))()
 
-            def upd_p(c):
-                w, m = c
-                s = 1.0 + w[0, 0] * 1e-30
-                nw, nm = pe.fused_update_rowwise_adagrad(
-                    w, m, ids, g * s, jnp.float32(0.01), jnp.float32(1e-8)
-                )
-                return (nw, nm)
+                def upd_p(c):
+                    w, m = c
+                    s = 1.0 + w[0, 0] * 1e-30
+                    nw, nm = pe.fused_update_rowwise_adagrad(
+                        w, m, ids, g * s, jnp.float32(0.01),
+                        jnp.float32(1e-8), T=args.T,
+                    )
+                    return (nw, nm)
+
+            else:
+                mom = jnp.zeros((1,), jnp.float32)  # unused carry slot
+
+                def upd_p(c):
+                    w, m = c
+                    s = 1.0 + w[0, 0] * 1e-30
+                    nw = pe.fused_update_sgd(
+                        w, ids, g * s, jnp.float32(0.01), T=args.T
+                    )
+                    return (nw, m)
 
             f = jax.jit(upd_p, donate_argnums=(0,))
             c = f((w, mom))
@@ -134,7 +150,7 @@ def main():
                 t = ((t2 - t1) - (t1 - t0)) / 30
                 best = t if best is None else min(best, t)
             print(
-                f"R={R:>9}  ({gib:5.2f} GiB)  pallas rowwise RMW: "
+                f"R={R:>9}  ({gib:5.2f} GiB)  pallas {args.rmw_op} RMW: "
                 f"{best*1e3:7.3f} ms  {best/N*1e9:6.2f} ns/row",
                 flush=True,
             )
