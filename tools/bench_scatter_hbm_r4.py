@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--rmw-op", default="rowwise", choices=["rowwise", "sgd"],
                     help="which Pallas RMW kernel --pallas times")
     ap.add_argument("--T", type=int, default=128, help="RMW wave size")
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="skip the XLA scatter timing (RMW sweep mode)")
     args = ap.parse_args()
 
     D = args.dim
@@ -86,9 +88,12 @@ def main():
         ids = jnp.asarray(ids_np, jnp.int32)
         g = jnp.asarray(rng.randn(N, D).astype(np.float32)) * 1e-3
 
-        w = jax.jit(
-            lambda: jnp.zeros((R, D), jnp.float32)
-        )()  # in-graph init: no host staging
+        if args.skip_xla:
+            pass
+        else:
+            w = jax.jit(
+                lambda: jnp.zeros((R, D), jnp.float32)
+            )()  # in-graph init: no host staging
 
         def upd(w):
             # scale by a w-dependent scalar so XLA cannot elide the chain
@@ -97,14 +102,15 @@ def main():
                 g * s, indices_are_sorted=True, unique_indices=True
             )
 
-        t, w = bench_chain_inplace(upd, w)
-        print(
-            f"R={R:>9}  ({gib:5.2f} GiB)  xla scatter-add: "
-            f"{t*1e3:7.3f} ms  {t/N*1e9:6.2f} ns/row  "
-            f"stream-equiv {2*R*D*4/t/1e9:6.0f} GB/s",
-            flush=True,
-        )
-        del w
+        if not args.skip_xla:
+            t, w = bench_chain_inplace(upd, w)
+            print(
+                f"R={R:>9}  ({gib:5.2f} GiB)  xla scatter-add: "
+                f"{t*1e3:7.3f} ms  {t/N*1e9:6.2f} ns/row  "
+                f"stream-equiv {2*R*D*4/t/1e9:6.0f} GB/s",
+                flush=True,
+            )
+            del w
 
         if args.pallas:
             from torchrec_tpu.ops import pallas_embedding as pe

@@ -12,9 +12,12 @@ campaign (NOTES_r2.md):
   — 626 GB/s equivalent at an 8.68 GiB operand
   (tools/bench_scatter_hbm_r4.py) — so the dispatch crossover at
   operand_bytes ~ N x 21 KB stands;
-* Pallas per-row RMW: ~67 ns/row, table-size independent (wins beyond
-  the stream crossover). An r4 double-buffered variant measured ~103
-  ns/row and was reverted — the serial wave kernel IS the fast form.
+* Pallas per-row RMW: ~67 ns/row for the 2-descriptor kernels (SGD;
+  rowwise with streamed momentum), table-size AND wave-size independent
+  (r4: T=64 vs T=128 within 0.5% at R=18.2M); in-wave-momentum kernels
+  run ~95-105 ns/row. Wins beyond the stream crossover. An r4
+  double-buffered variant measured NEUTRAL (NOTES_r4) and was reverted
+  to the simpler serial form.
 
 Re-measure with tools/bench_scatter_hbm_r4.py (scatter/RMW) and
 tools/bench_rowwise_r2.py when the hardware generation changes; update
