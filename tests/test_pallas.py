@@ -444,3 +444,25 @@ def test_tbe_lookup_sublane_aligned_tb(weights, rng, L):
     out = pe.tbe_lookup_pooled(weights, ids, coeff, interpret=True)
     ref = jnp.einsum("nld,nl->nd", weights[ids], coeff)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cost_model_mom_kr_mirrors_kernel_sizing():
+    """ops/cost_model._mom_kr must track the kernel's ACTUAL window
+    sizing (_mom_window_rows -> momentum_stream_window_rows): a retune
+    of one side without the other silently moves the stream-vs-XLA
+    momentum crossover in fused_update._use_mom_stream (the r4 retune
+    changed exactly this arithmetic)."""
+    from torchrec_tpu.ops.cost_model import _mom_kr
+
+    for TB in (32, 64, 128):
+        block = TB * 128
+        for R in (
+            1, 1000, 100_000, 2_600_000, 3_190_449, 3_190_528,
+            8_000_000, 18_200_000, 18_200_064, 45_000_000,
+        ):
+            for N in (4096, 212_992, 1_000_000):
+                Rp = max(1, -(-R // block)) * block
+                kernel_kr = pe.momentum_stream_window_rows(
+                    pe._mom_window_rows(Rp, N, TB)
+                )
+                assert _mom_kr(R, N, TB) == kernel_kr, (R, N, TB)

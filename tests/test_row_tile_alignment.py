@@ -124,3 +124,54 @@ def test_hierarchical_rows_loc_aligned():
     ]:
         strat = _meta(cls, stype, env=env, host=0)
         assert strat.weights_shape()[1] % ROW_TILE == 0
+
+
+def test_tower_rows_max_tile_aligned():
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.modules.mlp import MLP
+    from torchrec_tpu.ops.fused_update import EmbOptimType
+    from torchrec_tpu.parallel.tower_sharding import (
+        ShardedEmbeddingTowerCollection,
+        TowerSpec,
+    )
+
+    towers = [
+        TowerSpec(
+            tables=(
+                EmbeddingBagConfig(num_embeddings=r, embedding_dim=8,
+                                   name=f"t{i}", feature_names=[f"f{i}"]),
+            ),
+            interaction=MLP(layer_sizes=(4,)),
+            device=i % 4,
+            d_out=4,
+        )
+        for i, r in enumerate(RAGGED_ROWS)  # per-device sums hit odd residues
+    ]
+    tc = ShardedEmbeddingTowerCollection(
+        _env(), towers, optim=EmbOptimType.EXACT_SGD
+    )
+    assert tc.rows_max % ROW_TILE == 0, tc.rows_max
+
+
+def test_quant_rows_max_tile_aligned():
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.parallel.quant_sharded import (
+        ShardedQuantEmbeddingBagCollection,
+    )
+
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=r, embedding_dim=128,
+                           name=f"t{i}", feature_names=[f"f{i}"])
+        for i, r in enumerate(RAGGED_ROWS)
+    )
+    from torchrec_tpu.ops.quant import quantize_rowwise
+
+    rng = np.random.RandomState(0)
+    quantized = {
+        f"t{i}": quantize_rowwise(
+            rng.randn(r, 128).astype(np.float32), bits=8
+        )
+        for i, r in enumerate(RAGGED_ROWS)
+    }
+    sq = ShardedQuantEmbeddingBagCollection(_env(), tables, quantized)
+    assert sq.rows_max % ROW_TILE == 0, sq.rows_max

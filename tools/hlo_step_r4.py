@@ -36,7 +36,6 @@ from bench_config import (  # noqa: E402
 
 def main():
     import re
-    from functools import partial
 
     import jax
     import jax.numpy as jnp
@@ -71,23 +70,6 @@ def main():
     # eval_shape (init is traceable since the r3 in-graph packer)
     small_rows = [min(r, 1024) for r in rows_list]
     dmp_small = bench_mod._build(optim, None, per_table_rows=small_rows)
-
-    dmp = None  # full-rows DMP bound to the abstract TPU device
-
-    import torchrec_tpu.parallel.types as ptypes  # noqa: F401
-
-    # rebuild the full config twice: once for specs (CPU), once on the
-    # abstract device for the AOT target
-    def build_on(devs):
-        import torchrec_tpu.parallel as par
-
-        saved = jax.devices
-        try:
-            return bench_mod._build(
-                optim, None, per_table_rows=rows_list
-            ) if devs is None else _build_on_devices(devs)
-        finally:
-            jax.devices = saved
 
     def _build_on_devices(devs):
         # bench._build hardcodes jax.devices()[:1]; patch through env
@@ -218,8 +200,6 @@ def main():
     big_bytes = 100 * 2**20
     n_copy = 0
     for line in hlo.splitlines():
-        m = re.search(r"%(\S+) = (\S+)\[([\d,]*)\][^ ]* (copy|bitcast)\(",
-                      line)
         shapes = re.findall(r"f32\[([\d,]+)\]", line)
         maxb = 0
         for s in shapes:

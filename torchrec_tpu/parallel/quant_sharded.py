@@ -34,6 +34,7 @@ from torchrec_tpu.modules.embedding_configs import (
 from torchrec_tpu.modules.embedding_modules import embedding_names_by_table
 from torchrec_tpu.ops.embedding import PoolingMode
 from torchrec_tpu.ops.quant import QuantizedTable, quantize_rowwise
+from torchrec_tpu.parallel.strategies import _pad_rows_tile
 from torchrec_tpu.parallel.types import ShardingEnv
 from torchrec_tpu.sparse import (
     KeyedJaggedTensor,
@@ -99,11 +100,13 @@ class ShardedQuantEmbeddingBagCollection:
              for tids in per_dev),
             default=1,
         ) or 1
-        self.rows_max = max(
+        # ROW_TILE-padded like every packed group operand: unaligned row
+        # counts cost whole-operand layout copies at jit entry (NOTES_r4)
+        self.rows_max = _pad_rows_tile(max(
             (sum(tables[ti].num_embeddings for ti in tids)
              for tids in per_dev),
             default=1,
-        ) or 1
+        ) or 1)
 
         F = len(feats)
         self.dev_feats = np.zeros((n, self.f_max), np.int32)

@@ -102,6 +102,19 @@ def _pad_rows_tile(rows: int) -> int:
     return -(-int(rows) // ROW_TILE) * ROW_TILE
 
 
+def _pad_tail(arr, total_rows: int, axis: int = 0):
+    """Zero-pad `arr` along `axis` up to `total_rows` (ROW_TILE slack).
+
+    Keeps the input's array kind (numpy stays numpy, jax stays jax).
+    """
+    tail = total_rows - arr.shape[axis]
+    if not tail:
+        return arr
+    shape = arr.shape[:axis] + (tail,) + arr.shape[axis + 1 :]
+    xp = np if isinstance(arr, np.ndarray) else jnp
+    return xp.concatenate([arr, xp.zeros(shape, arr.dtype)], axis=axis)
+
+
 class BaseEmbeddingShardingStrategy:
     """One table-group sharded one way on one mesh."""
 
@@ -557,12 +570,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         arr = jnp.concatenate(
             [jnp.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )
-        tail = self.total_rows - arr.shape[0]  # ROW_TILE alignment slack
-        if tail:
-            arr = jnp.concatenate(
-                [arr, jnp.zeros((tail,) + arr.shape[1:], arr.dtype)],
-                axis=0,
-            )
+        arr = _pad_tail(arr, self.total_rows)  # ROW_TILE alignment slack
         return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
@@ -583,9 +591,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
             [np.asarray(per_table[t.name], np.float32)
              for t in self.meta.tables]
         )
-        tail = self.total_rows - arr.shape[0]
-        if tail:
-            arr = np.concatenate([arr, np.zeros((tail,), arr.dtype)])
+        arr = _pad_tail(arr, self.total_rows)
         return jax.device_put(jnp.asarray(arr), self._sharding(P()))
 
     def _local_ids(self, sb: PaddedSparseBatch):
@@ -698,12 +704,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 )
             parts.append(w.reshape(n, int(sr), *w.shape[1:]))
         arr = jnp.concatenate(parts, axis=1)  # [n, sum(shard_rows), D]
-        tail = self.rows_loc - arr.shape[1]  # ROW_TILE alignment slack
-        if tail:
-            arr = jnp.concatenate(
-                [arr, jnp.zeros((n, tail) + arr.shape[2:], arr.dtype)],
-                axis=1,
-            )
+        arr = _pad_tail(arr, self.rows_loc, axis=1)  # ROW_TILE slack
         return arr.astype(dtype or self.w_dtype)
 
     def unshard_to_dense(self, weights):
@@ -734,11 +735,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 v = np.concatenate([v, np.zeros((pad,), v.dtype)])
             parts.append(v.reshape(n, int(sr)))
         arr = np.concatenate(parts, axis=1)  # [n, sum(shard_rows)]
-        tail = self.rows_loc - arr.shape[1]
-        if tail:
-            arr = np.concatenate(
-                [arr, np.zeros((n, tail), arr.dtype)], axis=1
-            )
+        arr = _pad_tail(arr, self.rows_loc, axis=1)
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     def _route(self, ids_g: Array, lengths_g: Array, my: Array, L: int):
@@ -1173,11 +1170,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         arr = jnp.concatenate(
             [jnp.asarray(dense[t.name]) for t in self.meta.tables], axis=0
         )  # [R, D]
-        tail = self.total_rows - arr.shape[0]  # ROW_TILE alignment slack
-        if tail:
-            arr = jnp.concatenate(
-                [arr, jnp.zeros((tail, arr.shape[1]), arr.dtype)], axis=0
-            )
+        arr = _pad_tail(arr, self.total_rows)  # ROW_TILE alignment slack
         # [n, R, D/n]: column block j of every row -> device j
         arr = jnp.stack(jnp.split(arr, self.n, axis=1), axis=0)
         return arr.astype(dtype or self.w_dtype)
@@ -1207,11 +1200,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
              for t in self.meta.tables],
             axis=1,
         )  # [n, sum rows]  (1-D input = the n == 1 plain-row case)
-        tail = self.total_rows - arr.shape[1]
-        if tail:
-            arr = np.concatenate(
-                [arr, np.zeros((arr.shape[0], tail), arr.dtype)], axis=1
-            )
+        arr = _pad_tail(arr, self.total_rows, axis=1)
         return jax.device_put(jnp.asarray(arr), self._sharding(P(AXIS)))
 
     supports_input_dist = True

@@ -56,6 +56,7 @@ from torchrec_tpu.ops.fused_update import (
 )
 from torchrec_tpu.parallel.strategies import (
     EmbeddingGroupState,
+    _pad_rows_tile,
     _pool_coeff,
     _token_mask,
     _uniform_init,
@@ -139,14 +140,17 @@ class ShardedEmbeddingTowerCollection:
         ]
         feat_pos = {f: i for i, f in enumerate(self.features)}
 
-        # per-device rows layout (TW-style row concat over its towers)
-        self.rows_max = max(
+        # per-device rows layout (TW-style row concat over its towers),
+        # ROW_TILE-padded: unaligned packed row counts make XLA give the
+        # entry parameter a row-granular layout and materialize two
+        # whole-operand layout copies per step (NOTES_r4.md)
+        self.rows_max = _pad_rows_tile(max(
             (
                 sum(t.num_embeddings for ti in ts for t in self.towers[ti].tables)
                 for ts in per_dev
             ),
             default=1,
-        ) or 1
+        ) or 1)
 
         # slot metadata: [n, t_max, f_max]
         self.slot_feats = np.zeros((n, self.t_max, self.f_max), np.int32)
