@@ -466,3 +466,119 @@ def test_cost_model_mom_kr_mirrors_kernel_sizing():
                     pe._mom_window_rows(Rp, N, TB)
                 )
                 assert _mom_kr(R, N, TB) == kernel_kr, (R, N, TB)
+
+
+def test_mom_max_block_share_layouts():
+    """Layout-share math: uniform big tables reduce to the uniform mean;
+    tiny-table mixes concentrate whole features into one block."""
+    from torchrec_tpu.ops.cost_model import (
+        mom_max_block_share,
+        mom_stream_s,
+        mom_xla_s,
+        _mom_kr,
+    )
+
+    block = 64 * 128  # 8192 rows
+    # bench-like: 26 x 100k tables, 1 feature each -> a block sits inside
+    # one table; share == (1/26) x block/100k == uniform N x block / Rp
+    offs = [i * 100_000 for i in range(26)]
+    rows = [100_000] * 26
+    fr = [1 / 26] * 26
+    share = mom_max_block_share(offs, rows, fr, 2_600_000)
+    assert abs(share - (1 / 26) * block / 100_000) < 1e-9
+    # KR with this share matches the uniform sizing at the same shapes
+    assert _mom_kr(2_600_000, 212_992, max_block_share=share) == _mom_kr(
+        2_600_000, 212_992
+    )
+
+    # pod-like: 15 tiny tables (one feature each) pack into the FIRST
+    # block -> that block expects 15/26 of ALL id slots
+    tiny = [611, 271, 116, 317, 8, 112, 25, 8, 8, 35, 187, 8, 8, 16, 8]
+    offs2, acc = [], 0
+    for r in tiny:
+        offs2.append(acc)
+        acc += r
+    offs2.append(acc)
+    rows2 = tiny + [3_000_000]
+    fr2 = [1 / 26] * 15 + [11 / 26]
+    share2 = mom_max_block_share(offs2, rows2, fr2, acc + 3_000_000)
+    assert share2 > 14 / 26  # nearly all 15 tiny features in block 0
+
+    # at N=213k slots that block expects ~123k contributions >> the
+    # (TB+1)x128 = 8320 cap: the stream cost must include the fallback
+    # and lose to the XLA path
+    N = 212_992
+    assert share2 * N > 65 * 128
+    assert mom_stream_s(3_001_777, N, share2) > mom_xla_s(N)
+    # without the layout hint the uniform model wrongly says stream wins
+    assert mom_stream_s(3_001_777, N) < mom_xla_s(N)
+
+
+def test_mom_kr_share_mirrors_kernel_sizing():
+    """The share-aware cost-model mirror must track the kernel sizing."""
+    from torchrec_tpu.ops.cost_model import _mom_kr
+
+    TB = 64
+    block = TB * 128
+    for R in (100_000, 2_600_000, 18_200_000):
+        Rp = max(1, -(-R // block)) * block
+        for N in (4096, 212_992):
+            for share in (None, 0.001, 0.01, 0.1, 0.9):
+                kernel_kr = pe.momentum_stream_window_rows(
+                    pe._mom_window_rows(Rp, N, TB, share)
+                )
+                assert _mom_kr(R, N, TB, share) == kernel_kr, (R, N, share)
+
+
+def test_strategy_mom_share_computed():
+    """Flat strategies expose the layout share; a pod-like RW mix must
+    yield a share that routes the momentum dispatch to XLA."""
+    import jax
+
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.parallel.sharded_ebc import (
+        ShardedEmbeddingBagCollection,
+    )
+    from torchrec_tpu.parallel.types import (
+        ParameterSharding,
+        ShardingEnv,
+        ShardingType,
+    )
+    from torchrec_tpu.ops.cost_model import mom_stream_s, mom_xla_s
+
+    # pod-shard per-chip cardinalities (MLPerf / 64)
+    pod_rows = [
+        625_000, 611, 271, 116, 317, 8, 112, 25, 8, 625_000, 47_938,
+        6_333, 8, 35, 187, 8, 8, 16, 8, 625_000, 625_000, 625_000,
+        9_222, 203, 8, 8,
+    ]
+    env = ShardingEnv.from_devices(jax.devices("cpu")[:1])
+    tables = tuple(
+        EmbeddingBagConfig(num_embeddings=r, embedding_dim=128,
+                           name=f"t{i}", feature_names=[f"f{i}"])
+        for i, r in enumerate(pod_rows)
+    )
+    plan = {
+        f"t{i}": ParameterSharding(ShardingType.ROW_WISE)
+        for i in range(len(pod_rows))
+    }
+    sebc = ShardedEmbeddingBagCollection(env, tables, plan)
+    [strat] = sebc.strategies
+    assert strat.mom_share is not None
+    N = 26 * 8192
+    # the pod mix overflows the stream window: XLA must win
+    assert mom_stream_s(sum(pod_rows), N, strat.mom_share) > mom_xla_s(N)
+
+    # uniform bench mix: stream must still win (hint changes nothing)
+    uni = tuple(
+        EmbeddingBagConfig(num_embeddings=100_000, embedding_dim=128,
+                           name=f"u{i}", feature_names=[f"g{i}"])
+        for i in range(26)
+    )
+    plan_u = {
+        f"u{i}": ParameterSharding(ShardingType.ROW_WISE)
+        for i in range(26)
+    }
+    sebc_u = ShardedEmbeddingBagCollection(env, uni, plan_u)
+    [strat_u] = sebc_u.strategies
+    assert mom_stream_s(2_600_000, N, strat_u.mom_share) < mom_xla_s(N)

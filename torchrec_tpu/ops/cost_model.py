@@ -78,22 +78,83 @@ def mom_xla_s(n_elems: float) -> float:
     return n_elems * MOM_XLA_NS_PER_ELEM * 1e-9
 
 
-def _mom_kr(table_rows: float, n_elems: float, TB: int = 64) -> int:
+def mom_max_block_share(
+    offsets, rows, id_fracs, total_rows: int, TB: int = 64
+) -> float:
+    """Max over TB x 128-row momentum blocks of the EXPECTED fraction of
+    the batch's id slots whose rows land in that block, given the packed
+    table layout (each table's ids uniform over its own rows).
+
+    The uniform-occupancy window sizing (`_mom_kr` with share=None)
+    assumes ids spread evenly over the whole packed operand — false for
+    heterogeneous groups: at the pod-shard mix a handful of tiny tables
+    (3-600 rows, one feature = 8192 ids EACH) pack into ONE 8192-row
+    block, whose expected load is ~15 features x B, hundreds of times
+    the window cap. The kernel then overflows EVERY step and the
+    lax.cond fallback runs the XLA path on top of the wasted kernel
+    (measured r4: 1.04 ms kernel + 2.59 ms conditional per pod rowwise
+    step). Strategies compute this share from their static layout so
+    the dispatch can see the skew.
+    """
+    block = TB * 128
+    nb = max(1, -(-int(total_rows) // block))
+    load = [0.0] * nb
+    for off, r, fr in zip(offsets, rows, id_fracs):
+        off, r, fr = int(off), int(r), float(fr)
+        if r <= 0 or fr <= 0.0:
+            continue
+        b0 = off // block
+        b1 = (off + r - 1) // block
+        for b in range(b0, min(b1, nb - 1) + 1):
+            lo = max(off, b * block)
+            hi = min(off + r, (b + 1) * block)
+            load[b] += fr * (hi - lo) / float(r)
+    return max(load)
+
+
+def _mom_kr(
+    table_rows: float,
+    n_elems: float,
+    TB: int = 64,
+    max_block_share: "float | None" = None,
+) -> int:
     """Mirror of pallas_embedding._mom_window_rows + whole-tile rounding."""
     block = TB * 128
     Rp = max(block, -(-int(table_rows) // block) * block)
-    mean = n_elems * block / Rp
+    share = block / Rp if max_block_share is None else max_block_share
+    mean = n_elems * share
     need = mean + 8.0 * (max(mean, 1.0) ** 0.5) + 64.0
     raw = int(min(TB + 1, max(3, -(-need // 128))))
     return -(-raw // 8) * 8
 
 
-def mom_stream_s(table_rows: float, n_elems: float = 213_000.0) -> float:
+def _mom_overflows(
+    n_elems: float, TB: int = 64, max_block_share: "float | None" = None
+) -> bool:
+    """True when the expected worst-block load exceeds the window CAP
+    (TB+1 sublane rows) — the stream kernel would overflow and its
+    lax.cond fallback would run the XLA path on top of it."""
+    if max_block_share is None:
+        return False
+    need = n_elems * max_block_share
+    return need > (TB + 1) * 128
+
+
+def mom_stream_s(
+    table_rows: float,
+    n_elems: float = 213_000.0,
+    max_block_share: "float | None" = None,
+) -> float:
     """Streaming Pallas rowwise-momentum kernel: R x KR x 512 FLOP of
-    one-hot dots + the R-bound VMEM stream."""
-    kr = _mom_kr(table_rows, n_elems)
-    return (
+    one-hot dots + the R-bound VMEM stream. When the layout share says
+    the window cap can't hold the worst block, the real cost is the
+    kernel PLUS the always-taken XLA fallback."""
+    kr = _mom_kr(table_rows, n_elems, max_block_share=max_block_share)
+    t = (
         table_rows * kr * 512.0 / MOM_MXU_F32_FLOPS_S
         + table_rows * MOM_STREAM_BYTES_PER_ROW / STREAM_BW_BYTES_S
         + MOM_STREAM_FIXED_S
     )
+    if _mom_overflows(n_elems, max_block_share=max_block_share):
+        t += mom_xla_s(n_elems)
+    return t

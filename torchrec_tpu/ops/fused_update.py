@@ -244,6 +244,7 @@ def apply_fused_update(
     eta: float = 0.001,
     momentum: float = 0.9,
     stochastic_rounding: bool = True,
+    mom_max_block_share: "Optional[float]" = None,
 ) -> Tuple[Array, FusedOptimizerState]:
     """Apply one fused sparse optimizer step to touched rows only.
 
@@ -251,6 +252,10 @@ def apply_fused_update(
     flat_ids:  [N] global row ids into `weights`
     row_grads: [N, D] per-token gradients (pre-dedup)
     valid:     [N] bool
+    mom_max_block_share: static layout hint for the rowwise streaming-
+        momentum dispatch (ops/cost_model.mom_max_block_share) — the
+        expected worst-momentum-block load as a fraction of N. None =
+        assume uniform ids over the operand (single plain tables).
 
     Semantics match FBGEMM per optimizer:
       SGD:             w -= lr * g
@@ -293,6 +298,7 @@ def apply_fused_update(
         return _apply_fused_update_pallas(
             weights, opt_state, uids_c, g_c, learning_rate,
             eps=eps, weight_decay=weight_decay, beta1=beta1, beta2=beta2,
+            mom_max_block_share=mom_max_block_share,
         )
 
     # --- sorted positional combine (no compaction scatter) ---------------
@@ -412,22 +418,26 @@ def apply_fused_update(
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         m = opt_state.momentum1
         g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
-        if _use_mom_stream(R, N):
+        if _use_mom_stream(R, N, mom_max_block_share):
             # streaming Pallas momentum (r3): the whole [R] accumulator
             # rides VMEM tiles and the per-position scale comes back
             # sorted-position-aligned — no scalar scatter, no gather.
             # Works on sorted-WITH-duplicate ids: dup slots carry
             # g_sq = 0 so they accumulate nothing, and their returned
-            # scale multiplies g = 0. Windows are expectation-sized; a
-            # hot-block distribution (Zipf) overflows them, and the
-            # cond falls back to the XLA path (kernel cost then wasted
-            # — rare by construction).
+            # scale multiplies g = 0. Windows are sized to the expected
+            # worst block (layout share when given, uniform mean
+            # otherwise); a hotter-than-expected distribution (Zipf)
+            # overflows them, and the cond falls back to the XLA path
+            # (kernel cost then wasted — rare by construction, and
+            # layout-guaranteed overflow routes to XLA up front via the
+            # cost model).
             from torchrec_tpu.ops.pallas_embedding import (
                 rowwise_momentum_stream,
             )
 
             new_m_s, inv_s, ovf = rowwise_momentum_stream(
-                m, uids, g_sq.astype(jnp.float32), eps=eps
+                m, uids, g_sq.astype(jnp.float32), eps=eps,
+                max_block_share=mom_max_block_share,
             )
 
             def _mom_xla(_):
@@ -615,11 +625,16 @@ def apply_fused_update(
     raise ValueError(f"unsupported fused optimizer: {optim}")
 
 
-def _use_mom_stream(R: int, N: int) -> bool:
+def _use_mom_stream(
+    R: int, N: int, max_block_share: "Optional[float]" = None
+) -> bool:
     """Pick the rowwise-momentum implementation: the streaming Pallas
     kernel (R-bound: whole [R] accumulator through VMEM tiles) vs the
     XLA scalar-scatter + wide-gather path (N-bound dispatch). Constants
-    in ops/cost_model.py; TORCHREC_TPU_MOM_IMPL=stream|xla overrides."""
+    in ops/cost_model.py; the layout share makes guaranteed-overflow
+    groups (heterogeneous tiny-table mixes) pay the honest stream+
+    fallback cost and route to XLA up front.
+    TORCHREC_TPU_MOM_IMPL=stream|xla overrides."""
     import os
 
     impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", "auto")
@@ -631,7 +646,7 @@ def _use_mom_stream(R: int, N: int) -> bool:
 
     return (
         jax.default_backend() == "tpu"
-        and mom_stream_s(R, N) < mom_xla_s(N)
+        and mom_stream_s(R, N, max_block_share) < mom_xla_s(N)
     )
 
 
@@ -655,6 +670,7 @@ def _apply_fused_update_pallas(
     weight_decay: float,
     beta1: float,
     beta2: float,
+    mom_max_block_share: "Optional[float]" = None,
 ) -> Tuple[Array, FusedOptimizerState]:
     """Route the deduped row update to the in-place Pallas RMW kernels."""
     from torchrec_tpu.ops import pallas_embedding as pe
@@ -677,8 +693,9 @@ def _apply_fused_update_pallas(
             weights, opt_state.momentum1, uids, g, lr,
             eps=eps, weight_decay=weight_decay, T=128,
             momentum_stream=_use_mom_stream(
-                weights.shape[0], uids.shape[0]
+                weights.shape[0], uids.shape[0], mom_max_block_share
             ),
+            mom_max_block_share=mom_max_block_share,
         )
         return new_w, opt_state.replace(momentum1=new_m, step=step)
 

@@ -536,6 +536,7 @@ def fused_update_rowwise_adagrad(
     weight_decay: float = 0.0,
     T: int = 128,
     momentum_stream: bool = False,
+    mom_max_block_share: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """In-place rowwise-Adagrad: momentum [R] holds mean(g^2) per row.
@@ -567,7 +568,8 @@ def fused_update_rowwise_adagrad(
     ) * valid.astype(jnp.float32)
     if momentum_stream:
         new_m_s, inv_s, ovf = rowwise_momentum_stream(
-            momentum, uids, g_sq, eps=eps, interpret=interpret
+            momentum, uids, g_sq, eps=eps,
+            max_block_share=mom_max_block_share, interpret=interpret,
         )
 
         def _mom_xla(_):
@@ -723,7 +725,9 @@ def _rowwise_mom_stream_kernel(
     ).wait()
 
 
-def _mom_window_rows(Rp: int, N: int, TB: int) -> int:
+def _mom_window_rows(
+    Rp: int, N: int, TB: int, max_block_share: Optional[float] = None
+) -> int:
     """Expected contribution-window size in 128-element sublane rows.
 
     The kernel's MXU cost is nblocks x 2 x KR x (TB x 128^2 x 2) MAC =
@@ -734,8 +738,19 @@ def _mom_window_rows(Rp: int, N: int, TB: int) -> int:
     distributions overflow and take the caller's lax.cond fallback,
     same as before): the KR=8 whole-tile floor then binds for every
     bench/pod/HBM shape, halving the r3 sizing's (2.5 x mean) dot cost.
+
+    `max_block_share` is the layout-derived expected WORST-block load as
+    a fraction of N (ops/cost_model.mom_max_block_share): heterogeneous
+    packed groups concentrate whole features into single blocks, which
+    the uniform mean cannot see. Sizing to the worst block keeps mildly
+    skewed layouts overflow-free; layouts whose worst block exceeds the
+    TB+1 cap should not dispatch here at all (the cost model adds the
+    fallback cost, fused_update._use_mom_stream).
     """
-    mean_occ = N * TB * 128 / max(Rp, 1)
+    share = TB * 128 / max(Rp, 1) if max_block_share is None else (
+        max_block_share
+    )
+    mean_occ = N * share
     need = mean_occ + 8.0 * (max(mean_occ, 1.0) ** 0.5) + 64.0
     return int(min(TB + 1, max(3, -(-need // 128))))
 
@@ -764,6 +779,7 @@ def rowwise_momentum_stream(
     eps: float = 1.0e-8,
     TB: int = 64,
     window_rows: Optional[int] = None,
+    max_block_share: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Streaming rowwise-momentum accumulate + per-id inverse scale.
@@ -799,7 +815,7 @@ def rowwise_momentum_stream(
     nblocks = max(1, -(-R // block_rows))
     Rp = nblocks * block_rows
     if window_rows is None:
-        window_rows = _mom_window_rows(Rp, N, TB)
+        window_rows = _mom_window_rows(Rp, N, TB, max_block_share)
     KR = momentum_stream_window_rows(window_rows)
 
     m2d = jnp.pad(momentum, (0, Rp - R)).reshape(Rp // 128, 128)

@@ -102,6 +102,26 @@ def _pad_rows_tile(rows: int) -> int:
     return -(-int(rows) // ROW_TILE) * ROW_TILE
 
 
+def _mom_layout_share(entries, total_rows: int):
+    """Worst-momentum-block expected load share for a packed layout.
+
+    entries: [(row_offset, rows, frac_of_uid_slots)] per table in THIS
+    device's packed operand; see ops/cost_model.mom_max_block_share.
+    Returned value is passed statically into apply_fused_update so the
+    rowwise streaming-momentum dispatch can see layout skew
+    (heterogeneous tiny-table groups overflow the uniform-sized window
+    every step and pay kernel + fallback — measured at the pod-shard
+    mix, NOTES_r4.md).
+    """
+    from torchrec_tpu.ops.cost_model import mom_max_block_share
+
+    entries = [(o, r, f) for (o, r, f) in entries if r > 0 and f > 0]
+    if not entries:
+        return None
+    offs, rows, fr = zip(*entries)
+    return mom_max_block_share(offs, rows, fr, total_rows)
+
+
 def _pad_tail(arr, total_rows: int, axis: int = 0):
     """Zero-pad `arr` along `axis` up to `total_rows` (ROW_TILE slack).
 
@@ -559,6 +579,16 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         self.total_rows = _pad_rows_tile(acc)
         ft = self.meta.feature_table
         self.feat_row_off = self.row_offsets[ft]  # [F]
+        # uids = every feature's gathered slots: frac_t = feats_t / F
+        F = max(len(ft), 1)
+        cnt = np.bincount(ft, minlength=len(self.meta.tables))
+        self.mom_share = _mom_layout_share(
+            [
+                (int(self.row_offsets[i]), t.rows, cnt[i] / F)
+                for i, t in enumerate(self.meta.tables)
+            ],
+            self.total_rows,
+        )
 
     def weights_shape(self):
         return (self.total_rows, self.dim)
@@ -641,6 +671,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
             valid_all = lax.all_gather(valid.reshape(-1), AXIS, tiled=True)
             new_w, new_opt = apply_fused_update(
                 w, opt, ids_all, grads_all, valid_all, lr,
+                mom_max_block_share=self.mom_share,
                 **self.optim_kwargs,
             )
             return new_w, new_opt
@@ -688,6 +719,18 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         ft = self.meta.feature_table
         self.feat_shard_rows = self.shard_rows[ft]
         self.feat_local_off = self.local_offsets[ft]
+        # uids = ALL gathered slots [F, n*B, L]; ~1/n of each table's ids
+        # land on this device: frac_t = feats_t / (F * n)
+        F = max(len(ft), 1)
+        cnt = np.bincount(ft, minlength=len(self.meta.tables))
+        self.mom_share = _mom_layout_share(
+            [
+                (int(self.local_offsets[i]), int(self.shard_rows[i]),
+                 cnt[i] / (F * n))
+                for i in range(len(self.meta.tables))
+            ],
+            self.rows_loc,
+        )
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
@@ -774,7 +817,8 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         new_w, new_opt = apply_fused_update(
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, self.dim),
-            owned.reshape(-1), lr, **self.optim_kwargs,
+            owned.reshape(-1), lr,
+            mom_max_block_share=self.mom_share, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -932,6 +976,23 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                     slot += 1
                 rowoff += self.meta.tables[ti].rows
         self.per_dev = per_dev
+        # uids per device = [f_max, n*B, L] slots of ITS features; the
+        # window is one static compile constant for the SPMD program, so
+        # the worst DEVICE's worst block gates everyone
+        shares = [
+            _mom_layout_share(
+                [
+                    (int(self.table_dev_rowoff[ti]),
+                     self.meta.tables[ti].rows,
+                     len(feats_of_table[ti]) / self.f_max)
+                    for ti in tids
+                ],
+                self.rows_max,
+            )
+            for tids in per_dev
+        ]
+        shares = [s for s in shares if s is not None]
+        self.mom_share = max(shares) if shares else None
 
     def weights_shape(self):
         return (self.n, self.rows_max, self.dim)
@@ -1034,7 +1095,8 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         new_w, new_opt = apply_fused_update(
             w[0], self._opt_local(opt),
             ids_m.reshape(-1), row_grads.reshape(-1, D),
-            valid.reshape(-1), lr, **self.optim_kwargs,
+            valid.reshape(-1), lr,
+            mom_max_block_share=self.mom_share, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -1162,6 +1224,17 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             acc += t.rows
         self.total_rows = _pad_rows_tile(acc)
         self.feat_row_off = self.row_offsets[self.meta.feature_table]
+        # uids = every feature's gathered slots; all rows on each device
+        ft = self.meta.feature_table
+        F = max(len(ft), 1)
+        cnt = np.bincount(ft, minlength=len(self.meta.tables))
+        self.mom_share = _mom_layout_share(
+            [
+                (int(self.row_offsets[i]), t.rows, cnt[i] / F)
+                for i, t in enumerate(self.meta.tables)
+            ],
+            self.total_rows,
+        )
 
     def weights_shape(self):
         return (self.n, self.total_rows, self.cols_loc)
@@ -1232,7 +1305,8 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         new_w, new_opt = apply_fused_update(
             w[0], self._opt_local(opt),
             gids.reshape(-1), row_grads.reshape(-1, self.cols_loc),
-            valid.reshape(-1), lr, **self.optim_kwargs,
+            valid.reshape(-1), lr,
+            mom_max_block_share=self.mom_share, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
