@@ -50,11 +50,20 @@ def predict(chips: int = 64, rows: int = None,
 
     lookup = cost_model.fused_lookup_s(n_ids)
     update = cost_model.fused_update_s(n_ids, group_bytes)
+    # layout share: the dispatch sees heterogeneous tiny-table mixes
+    # (pod) and routes to XLA instead of overflowing the window
+    offs, acc = [], 0
+    for r in row_list:
+        offs.append(acc)
+        acc += r
+    share = cost_model.mom_max_block_share(
+        offs, row_list, [1 / NUM_TABLES] * NUM_TABLES, acc
+    )
     mom = 0.0
     if optim == "rowwise_adagrad":
         mom = min(
             cost_model.mom_xla_s(n_ids),
-            cost_model.mom_stream_s(total_rows, n_ids),
+            cost_model.mom_stream_s(total_rows, n_ids, share),
         )
 
     # dense arches: fwd+bwd FLOPs at the bf16 MXU (2x fwd for bwd)
@@ -99,7 +108,9 @@ def predict(chips: int = 64, rows: int = None,
         "update_xla_ms": cost_model.xla_update_s(n_ids, group_bytes) * 1e3,
         "update_pallas_ms": cost_model.pallas_update_s(n_ids) * 1e3,
         "mom_xla_ms": cost_model.mom_xla_s(n_ids) * 1e3,
-        "mom_stream_ms": cost_model.mom_stream_s(total_rows, n_ids) * 1e3,
+        "mom_stream_ms": cost_model.mom_stream_s(
+            total_rows, n_ids, share
+        ) * 1e3,
     }
 
 
