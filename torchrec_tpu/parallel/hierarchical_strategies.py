@@ -41,6 +41,7 @@ from torchrec_tpu.parallel.strategies import (
     BaseEmbeddingShardingStrategy,
     EmbeddingGroupState,
     _cdiv,
+    _mom_layout_share,
     _pad_rows_tile,
     _token_mask,
 )
@@ -116,6 +117,22 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                     self.out_pos[fi] = h * self.f_max + slot
                     slot += 1
                 off += int(self.table_sr[ti])
+        # uids per device = [f_max, B, L] slots of the HOST's features;
+        # 1/Lc of each table's ids owned locally (owner = id // sr);
+        # worst host's worst momentum block gates the static window
+        shares = [
+            _mom_layout_share(
+                [
+                    (self.table_local_off[ti], int(self.table_sr[ti]),
+                     len(feats_of_table[ti]) / (self.f_max * Lc))
+                    for ti in tids
+                ],
+                self.rows_loc,
+            )
+            for tids in per_host
+        ]
+        shares = [s for s in shares if s is not None]
+        self.mom_share = max(shares) if shares else None
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
@@ -335,7 +352,8 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         new_w, new_opt = apply_fused_update(
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, D),
-            owned.reshape(-1), lr, **self.optim_kwargs,
+            owned.reshape(-1), lr,
+            mom_max_block_share=self.mom_share, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -529,6 +547,22 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                     self.host_feat_off[h, slot] = off_map[ti]
                     self.host_feat_sr[h, slot] = 1  # unused
                     slot += 1
+        # TWCW: full rows on every device of the host (columns split);
+        # every slot's ids land locally -> frac = feats_t / f_max
+        ft = self.meta.feature_table
+        shares = [
+            _mom_layout_share(
+                [
+                    (off_map[ti], self.meta.tables[ti].rows,
+                     int((ft == ti).sum()) / self.f_max)
+                    for ti in tids
+                ],
+                self.rows_loc,
+            )
+            for tids in self.per_host
+        ]
+        shares = [s for s in shares if s is not None]
+        self.mom_share = max(shares) if shares else None
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.cols_loc)
@@ -630,7 +664,8 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
         new_w, new_opt = apply_fused_update(
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, self.cols_loc),
-            valid.reshape(-1), lr, **self.optim_kwargs,
+            valid.reshape(-1), lr,
+            mom_max_block_share=self.mom_share, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
