@@ -582,3 +582,87 @@ def test_strategy_mom_share_computed():
     sebc_u = ShardedEmbeddingBagCollection(env, uni, plan_u)
     [strat_u] = sebc_u.strategies
     assert mom_stream_s(2_600_000, N, strat_u.mom_share) < mom_xla_s(N)
+
+
+def test_rowwise_momentum_stream_skip_blocks(rng):
+    """skip_blocks: skipped (hot) blocks pass their momentum tile
+    through untouched, consume no window, keep scale slots at 0, and are
+    excluded from the overflow check even when their load would blow the
+    window."""
+    TB, block = 64, 64 * 128
+    Rb = 3 * block
+    cold0 = np.sort(rng.choice(block, 200, replace=False))
+    hot1 = np.sort(
+        rng.choice(np.arange(block, 2 * block), 1500, replace=False)
+    )  # needs ~12 window rows > KR=8 -> would overflow unskipped
+    cold2 = np.sort(
+        rng.choice(np.arange(2 * block, 3 * block), 100, replace=False)
+    )
+    uids = np.concatenate([cold0, hot1, cold2]).astype(np.int32)
+    gsq = rng.rand(len(uids)).astype(np.float32)
+    m0 = rng.rand(Rb).astype(np.float32)
+
+    new_m, inv, ovf = pe.rowwise_momentum_stream(
+        jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
+        eps=1e-8, window_rows=8, skip_blocks=(1,), interpret=True,
+    )
+    assert not bool(ovf)
+    ref = m0.copy()
+    ref[cold0] += gsq[:200]
+    ref[cold2] += gsq[1700:]
+    np.testing.assert_allclose(np.asarray(new_m), ref, rtol=1e-6,
+                               atol=1e-7)  # hot rows untouched
+    inv = np.asarray(inv)
+    np.testing.assert_array_equal(inv[200:1700], 0.0)  # hot slots: 0
+    np.testing.assert_allclose(
+        inv[:200], -1.0 / (np.sqrt(ref[cold0]) + 1e-8), rtol=1e-5
+    )
+    # unskipped, the same load overflows the same window
+    _, _, ovf2 = pe.rowwise_momentum_stream(
+        jnp.asarray(m0), jnp.asarray(uids), jnp.asarray(gsq),
+        eps=1e-8, window_rows=8, interpret=True,
+    )
+    assert bool(ovf2)
+
+
+def test_apply_fused_update_mom_split_env(rng, monkeypatch):
+    """TORCHREC_TPU_MOM_IMPL=split with a hot-block layout matches the
+    XLA path: the hot block rides the dense one-hot MXU side while cold
+    blocks keep the stream kernel."""
+    block = 64 * 128
+    R2 = 3 * block + 1000  # partial last block
+    D2 = 128
+    N = 16384
+    counts = [1600, 12000, 1900, 884]  # block 1 is hot
+    ranges = [
+        (0, block), (block, 2 * block), (2 * block, 3 * block),
+        (3 * block, R2),
+    ]
+    ids = np.concatenate([
+        rng.randint(lo, hi, size=(c,))
+        for (lo, hi), c in zip(ranges, counts)
+    ]).astype(np.int32)
+    rng.shuffle(ids)
+    flat_ids = jnp.asarray(ids)
+    grads = jnp.asarray(rng.randn(N, D2).astype(np.float32)) * 1e-2
+    valid = jnp.asarray(rng.rand(N) > 0.1)
+    w0 = jnp.asarray(rng.randn(R2, D2).astype(np.float32))
+    opt = init_fused_optimizer_state(R2, D2, EmbOptimType.ROWWISE_ADAGRAD)
+    fracs = tuple(c / N for c in counts)
+
+    from torchrec_tpu.ops.cost_model import mom_needed_rows
+    assert mom_needed_rows(fracs[1] * N) > 65  # block 1 must be hot
+    assert mom_needed_rows(fracs[0] * N) <= 65
+
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "xla")
+    ref_w, ref_opt = apply_fused_update(
+        w0, opt, flat_ids, grads, valid, 0.1, mom_block_fracs=fracs
+    )
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "split")
+    new_w, new_opt = apply_fused_update(
+        w0, opt, flat_ids, grads, valid, 0.1, mom_block_fracs=fracs
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
+    )

@@ -107,6 +107,12 @@ def main(topology="v5e:2x2", rows=2_600_000, n_ids=212_992, dim=128):
         ),
         (sds((R,), jnp.float32), ids, sds((N,), jnp.float32)),
     )
+    cases["rowwise_momentum_stream[skip]"] = (
+        lambda m, ids, gsq: pe.rowwise_momentum_stream(
+            m, ids, gsq, skip_blocks=(0, 2), interpret=False
+        ),
+        (sds((R,), jnp.float32), ids, sds((N,), jnp.float32)),
+    )
 
     # the full dispatch with the r3 streaming momentum forced on — the
     # exact program the chip campaign benches

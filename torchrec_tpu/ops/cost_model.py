@@ -96,6 +96,15 @@ def mom_max_block_share(
     step). Strategies compute this share from their static layout so
     the dispatch can see the skew.
     """
+    return max(mom_block_fracs(offsets, rows, id_fracs, total_rows, TB))
+
+
+def mom_block_fracs(
+    offsets, rows, id_fracs, total_rows: int, TB: int = 64
+):
+    """Per-block expected load fractions (see mom_max_block_share) as a
+    tuple — static metadata the split dispatch uses to pick which blocks
+    to handle densely."""
     block = TB * 128
     nb = max(1, -(-int(total_rows) // block))
     load = [0.0] * nb
@@ -109,7 +118,7 @@ def mom_max_block_share(
             lo = max(off, b * block)
             hi = min(off + r, (b + 1) * block)
             load[b] += fr * (hi - lo) / float(r)
-    return max(load)
+    return tuple(load)
 
 
 def _mom_kr(
@@ -126,6 +135,15 @@ def _mom_kr(
     need = mean + 8.0 * (max(mean, 1.0) ** 0.5) + 64.0
     raw = int(min(TB + 1, max(3, -(-need // 128))))
     return -(-raw // 8) * 8
+
+
+def mom_needed_rows(load_elems: float) -> int:
+    """Window sublane rows a block with `load_elems` expected
+    contributions needs (mean + 8 sigma + 64 slack, in 128-lane rows).
+    Blocks needing more than TB+1 rows cannot fit any window and must be
+    skipped (handled densely) or the whole group routed to XLA."""
+    need = load_elems + 8.0 * (max(load_elems, 1.0) ** 0.5) + 64.0
+    return int(-(-need // 128))
 
 
 def _mom_overflows(

@@ -245,6 +245,7 @@ def apply_fused_update(
     momentum: float = 0.9,
     stochastic_rounding: bool = True,
     mom_max_block_share: "Optional[float]" = None,
+    mom_block_fracs: "Optional[Tuple[float, ...]]" = None,
 ) -> Tuple[Array, FusedOptimizerState]:
     """Apply one fused sparse optimizer step to touched rows only.
 
@@ -256,6 +257,11 @@ def apply_fused_update(
         momentum dispatch (ops/cost_model.mom_max_block_share) — the
         expected worst-momentum-block load as a fraction of N. None =
         assume uniform ids over the operand (single plain tables).
+    mom_block_fracs: the full per-block tuple (cost_model.
+        mom_block_fracs); implies mom_max_block_share = max(fracs) and
+        enables the split dispatch (TORCHREC_TPU_MOM_IMPL=split): hot
+        blocks handled densely on the XLA side while the stream kernel
+        skips them.
 
     Semantics match FBGEMM per optimizer:
       SGD:             w -= lr * g
@@ -274,6 +280,8 @@ def apply_fused_update(
     fused_params["optimizer"], batched_embedding_kernel.py:260-284).
     """
     R = weights.shape[0]
+    if mom_max_block_share is None and mom_block_fracs:
+        mom_max_block_share = max(mom_block_fracs)
 
     from torchrec_tpu.ops.embedding import _use_pallas
 
@@ -418,7 +426,8 @@ def apply_fused_update(
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         m = opt_state.momentum1
         g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
-        if _use_mom_stream(R, N, mom_max_block_share):
+        mom_impl = _mom_impl(R, N, mom_max_block_share, mom_block_fracs)
+        if mom_impl in ("stream", "split"):
             # streaming Pallas momentum (r3): the whole [R] accumulator
             # rides VMEM tiles and the per-position scale comes back
             # sorted-position-aligned — no scalar scatter, no gather.
@@ -435,10 +444,20 @@ def apply_fused_update(
                 rowwise_momentum_stream,
             )
 
+            hot_blocks: Tuple[int, ...] = ()
+            cold_share = mom_max_block_share
+            if mom_impl == "split":
+                hot_blocks, cold_share = _mom_hot_blocks(
+                    mom_block_fracs, N
+                )
             new_m_s, inv_s, ovf = rowwise_momentum_stream(
                 m, uids, g_sq.astype(jnp.float32), eps=eps,
-                max_block_share=mom_max_block_share,
+                max_block_share=cold_share, skip_blocks=hot_blocks,
             )
+            if hot_blocks:
+                new_m_s, inv_s = _mom_dense_hot(
+                    new_m_s, m, uids, g_sq, inv_s, hot_blocks, eps, R
+                )
 
             def _mom_xla(_):
                 nm = m.at[uids].add(g_sq, mode="drop", **hints)
@@ -623,6 +642,123 @@ def apply_fused_update(
         )
 
     raise ValueError(f"unsupported fused optimizer: {optim}")
+
+
+def _mom_impl(
+    R: int,
+    N: int,
+    max_block_share: "Optional[float]" = None,
+    block_fracs: "Optional[Tuple[float, ...]]" = None,
+) -> str:
+    """Rowwise-momentum implementation: 'stream' | 'xla' | 'split'.
+
+    'split' (hot blocks dense on the XLA side, stream kernel skips
+    them) requires the per-block layout (`block_fracs`) and is opt-in
+    via TORCHREC_TPU_MOM_IMPL=split until chip-calibrated into 'auto'.
+    """
+    import os
+
+    impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", "auto")
+    if impl == "split":
+        return "split" if block_fracs else "stream"
+    if impl in ("stream", "xla"):
+        return impl
+    return (
+        "stream" if _use_mom_stream(R, N, max_block_share) else "xla"
+    )
+
+
+def _mom_hot_blocks(
+    block_fracs: "Tuple[float, ...]", N: int, TB: int = 64
+) -> "Tuple[Tuple[int, ...], Optional[float]]":
+    """(hot block indices, max cold share): hot = expected load needs a
+    window beyond the TB+1 cap, i.e. the stream kernel cannot hold it."""
+    from torchrec_tpu.ops.cost_model import mom_needed_rows
+
+    hot = tuple(
+        b for b, f in enumerate(block_fracs)
+        if mom_needed_rows(f * N) > TB + 1
+    )
+    hot_set = set(hot)
+    cold = [f for b, f in enumerate(block_fracs) if b not in hot_set]
+    return hot, (max(cold) if cold else None)
+
+
+def _mom_dense_hot(
+    m_kernel: Array,
+    m_orig: Array,
+    uids: Array,
+    g_sq: Array,
+    inv_kernel: Array,
+    hot_blocks: "Tuple[int, ...]",
+    eps: float,
+    R: int,
+    TB: int = 64,
+) -> Tuple[Array, Array]:
+    """Dense one-hot MXU momentum for statically-hot blocks.
+
+    The scalar m-scatter costs ~9.5 ns per SLOT regardless of operand
+    size, but a handful of 8192-row blocks can be accumulated and
+    scale-extracted as [N, H*64] x [H*64, 128] one-hot matmuls at MXU
+    speed. m_kernel is the stream kernel's output (hot tiles passed
+    through); inv_kernel its sorted-position scale (hot slots = 0).
+    Returns (merged momentum, merged NEGATIVE inverse scale) matching
+    the kernel's -1/(sqrt(m_new)+eps) convention.
+    """
+    block = TB * 128
+    nb = max(1, -(-R // block))
+    Rp = nb * block
+    H = len(hot_blocks)
+    hp = jax.lax.Precision.HIGHEST
+
+    uids32 = uids.astype(jnp.int32)
+    is_hot = jnp.zeros(uids.shape, bool)
+    hrank = jnp.zeros(uids.shape, jnp.int32)
+    for j, b in enumerate(hot_blocks):
+        lo = b * block
+        hi = min((b + 1) * block, Rp)
+        in_b = (uids32 >= lo) & (uids32 < hi) & (uids32 < R)
+        is_hot = is_hot | in_b
+        hrank = jnp.where(in_b, j, hrank)
+
+    m_pad = jnp.pad(m_orig.astype(jnp.float32), (0, Rp - R))
+    m_hot2d = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice_in_dim(m_pad, b * block, block)
+            for b in hot_blocks
+        ]
+    ).reshape(H * TB, 128)
+
+    hidx = jnp.where(is_hot, hrank * block + uids32 % block, 0)
+    row = hidx // 128  # [N] in [0, H*TB)
+    lane = hidx % 128
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (1, H * TB), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    rsel = (
+        (rows_iota == row[:, None]) & is_hot[:, None]
+    ).astype(jnp.float32)  # [N, H*TB]
+    lsel = (lane_iota == lane[:, None]).astype(jnp.float32)  # [N, 128]
+
+    gsq32 = g_sq.astype(jnp.float32) * is_hot.astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        rsel, lsel * gsq32[:, None],
+        (((0,), (0,)), ((), ())), precision=hp,
+    )  # [H*TB, 128]
+    m_hot_new = m_hot2d + contrib
+
+    tmp = jax.lax.dot(rsel, m_hot_new, precision=hp)  # [N, 128]
+    m_e = jnp.sum(tmp * lsel, axis=1)  # [N]
+    hot_inv = -1.0 / (jnp.sqrt(m_e) + eps)
+
+    m_out = jnp.pad(m_kernel.astype(jnp.float32), (0, Rp - R))
+    flat = m_hot_new.reshape(-1)
+    for j, b in enumerate(hot_blocks):
+        m_out = jax.lax.dynamic_update_slice(
+            m_out, jax.lax.dynamic_slice_in_dim(flat, j * block, block),
+            (b * block,),
+        )
+    inv = jnp.where(is_hot, hot_inv.astype(inv_kernel.dtype), inv_kernel)
+    return m_out[:R].astype(m_kernel.dtype), inv
 
 
 def _use_mom_stream(

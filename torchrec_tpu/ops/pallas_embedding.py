@@ -35,6 +35,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -631,7 +632,7 @@ def fused_update_rowwise_adagrad(
 
 
 def _rowwise_mom_stream_kernel(
-    wrow_ref, m_ref, ids_hbm, gsq_hbm, sc_in, out_m, out_sc,
+    wrow_ref, skip_ref, m_ref, ids_hbm, gsq_hbm, sc_in, out_m, out_sc,
     ids_s, g_s, sc_s, sems,
     *, TB, KR, R, eps,
 ):
@@ -641,8 +642,31 @@ def _rowwise_mom_stream_kernel(
     -1/(sqrt(m_new)+eps) back into the sorted-position-aligned scale
     array (RMW merge, so overlapping boundary sublane rows of adjacent
     windows survive — the TPU grid is sequential, so the previous
-    block's write has completed before this block's read)."""
+    block's write has completed before this block's read).
+
+    skip_ref[b] != 0 marks a HOT block the caller handles densely on
+    the XLA side (split dispatch): the tile passes through untouched,
+    no window DMA is issued (its expected load would not fit ANY
+    window), and its contributions' scale slots stay at their input
+    value for the caller to overwrite."""
     b = pl.program_id(0)
+
+    @pl.when(skip_ref[b] != 0)
+    def _passthrough():
+        out_m[:] = m_ref[:]
+
+    @pl.when(skip_ref[b] == 0)
+    def _work():
+        _rowwise_mom_stream_block(
+            wrow_ref, m_ref, ids_hbm, gsq_hbm, out_m, out_sc,
+            ids_s, g_s, sc_s, sems, b=b, TB=TB, KR=KR, R=R, eps=eps,
+        )
+
+
+def _rowwise_mom_stream_block(
+    wrow_ref, m_ref, ids_hbm, gsq_hbm, out_m, out_sc,
+    ids_s, g_s, sc_s, sems, *, b, TB, KR, R, eps,
+):
     row0 = wrow_ref[b]
 
     # window DMAs: ids / g_sq / current scale rows [row0, row0+KR)
@@ -780,9 +804,16 @@ def rowwise_momentum_stream(
     TB: int = 64,
     window_rows: Optional[int] = None,
     max_block_share: Optional[float] = None,
+    skip_blocks: Optional[Tuple[int, ...]] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Streaming rowwise-momentum accumulate + per-id inverse scale.
+
+    skip_blocks: static indices of HOT momentum blocks the caller
+    handles densely (split dispatch, ops/fused_update.py): skipped
+    blocks pass their tile through, consume no window, and are excluded
+    from the overflow check; their contributions' scale slots come back
+    as 0 for the caller to overwrite.
 
     momentum [R] f32; uids [N] SORTED ascending (dedup_row_grads output:
     real ids first, then distinct sentinels >= R; sorted-with-duplicates
@@ -841,7 +872,14 @@ def rowwise_momentum_stream(
     ).astype(jnp.int32)
     starts, ends = edges[:-1], edges[1:]
     wrows = starts // 128
-    overflowed = jnp.any(ends > wrows * 128 + KR * 128)
+    skip_np = np.zeros((nblocks,), np.int32)
+    for sb in skip_blocks or ():
+        if 0 <= int(sb) < nblocks:
+            skip_np[int(sb)] = 1
+    skip = jnp.asarray(skip_np)
+    overflowed = jnp.any(
+        (ends > wrows * 128 + KR * 128) & (skip == 0)
+    )
 
     # dynamically-offset DMA windows of KR sublane rows: whole-tile or
     # the TPU worker faults at runtime (see momentum_stream_window_rows)
@@ -851,7 +889,7 @@ def rowwise_momentum_stream(
             _rowwise_mom_stream_kernel, TB=TB, KR=KR, R=R, eps=float(eps)
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(
@@ -880,10 +918,10 @@ def rowwise_momentum_stream(
             jax.ShapeDtypeStruct((Rp // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((Np // 128, 128), jnp.float32),
         ),
-        input_output_aliases={1: 0, 4: 1},
+        input_output_aliases={2: 0, 5: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(wrows, m2d, ids2d, gsq2d, sc0)
+    )(wrows, skip, m2d, ids2d, gsq2d, sc0)
     new_m = new_m2d.reshape(-1)[:R]
     inv_scale = sc2d.reshape(-1)[:N]
     return new_m, inv_scale, overflowed

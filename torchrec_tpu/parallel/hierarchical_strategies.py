@@ -41,7 +41,8 @@ from torchrec_tpu.parallel.strategies import (
     BaseEmbeddingShardingStrategy,
     EmbeddingGroupState,
     _cdiv,
-    _mom_layout_share,
+    _merge_dev_fracs,
+    _mom_layout_fracs,
     _pad_rows_tile,
     _token_mask,
 )
@@ -120,8 +121,8 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         # uids per device = [f_max, B, L] slots of the HOST's features;
         # 1/Lc of each table's ids owned locally (owner = id // sr);
         # worst host's worst momentum block gates the static window
-        shares = [
-            _mom_layout_share(
+        self.mom_fracs = _merge_dev_fracs([
+            _mom_layout_fracs(
                 [
                     (self.table_local_off[ti], int(self.table_sr[ti]),
                      len(feats_of_table[ti]) / (self.f_max * Lc))
@@ -130,9 +131,8 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 self.rows_loc,
             )
             for tids in per_host
-        ]
-        shares = [s for s in shares if s is not None]
-        self.mom_share = max(shares) if shares else None
+        ])
+        self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
@@ -353,7 +353,7 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, D),
             owned.reshape(-1), lr,
-            mom_max_block_share=self.mom_share, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -550,8 +550,8 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
         # TWCW: full rows on every device of the host (columns split);
         # every slot's ids land locally -> frac = feats_t / f_max
         ft = self.meta.feature_table
-        shares = [
-            _mom_layout_share(
+        self.mom_fracs = _merge_dev_fracs([
+            _mom_layout_fracs(
                 [
                     (off_map[ti], self.meta.tables[ti].rows,
                      int((ft == ti).sum()) / self.f_max)
@@ -560,9 +560,8 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
                 self.rows_loc,
             )
             for tids in self.per_host
-        ]
-        shares = [s for s in shares if s is not None]
-        self.mom_share = max(shares) if shares else None
+        ])
+        self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.cols_loc)
@@ -665,7 +664,7 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, self.cols_loc),
             valid.reshape(-1), lr,
-            mom_max_block_share=self.mom_share, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 

@@ -113,13 +113,32 @@ def _mom_layout_share(entries, total_rows: int):
     every step and pay kernel + fallback — measured at the pod-shard
     mix, NOTES_r4.md).
     """
-    from torchrec_tpu.ops.cost_model import mom_max_block_share
+    fracs = _mom_layout_fracs(entries, total_rows)
+    return max(fracs) if fracs else None
+
+
+def _merge_dev_fracs(per_dev_fracs):
+    """Elementwise max of per-device block-frac tuples: SPMD compiles
+    ONE program, so the static skip/window choice must cover the worst
+    device at every block."""
+    per_dev_fracs = [f for f in per_dev_fracs if f]
+    if not per_dev_fracs:
+        return ()
+    nb = max(len(f) for f in per_dev_fracs)
+    padded = [tuple(f) + (0.0,) * (nb - len(f)) for f in per_dev_fracs]
+    return tuple(max(col) for col in zip(*padded))
+
+
+def _mom_layout_fracs(entries, total_rows: int):
+    """Per-block load-fraction tuple for a packed layout (see
+    _mom_layout_share); () when the layout carries no ids."""
+    from torchrec_tpu.ops.cost_model import mom_block_fracs
 
     entries = [(o, r, f) for (o, r, f) in entries if r > 0 and f > 0]
     if not entries:
-        return None
+        return ()
     offs, rows, fr = zip(*entries)
-    return mom_max_block_share(offs, rows, fr, total_rows)
+    return mom_block_fracs(offs, rows, fr, total_rows)
 
 
 def _pad_tail(arr, total_rows: int, axis: int = 0):
@@ -582,13 +601,14 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
         # uids = every feature's gathered slots: frac_t = feats_t / F
         F = max(len(ft), 1)
         cnt = np.bincount(ft, minlength=len(self.meta.tables))
-        self.mom_share = _mom_layout_share(
+        self.mom_fracs = _mom_layout_fracs(
             [
                 (int(self.row_offsets[i]), t.rows, cnt[i] / F)
                 for i, t in enumerate(self.meta.tables)
             ],
             self.total_rows,
         )
+        self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
 
     def weights_shape(self):
         return (self.total_rows, self.dim)
@@ -671,7 +691,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
             valid_all = lax.all_gather(valid.reshape(-1), AXIS, tiled=True)
             new_w, new_opt = apply_fused_update(
                 w, opt, ids_all, grads_all, valid_all, lr,
-                mom_max_block_share=self.mom_share,
+                mom_block_fracs=self.mom_fracs,
                 **self.optim_kwargs,
             )
             return new_w, new_opt
@@ -723,7 +743,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         # land on this device: frac_t = feats_t / (F * n)
         F = max(len(ft), 1)
         cnt = np.bincount(ft, minlength=len(self.meta.tables))
-        self.mom_share = _mom_layout_share(
+        self.mom_fracs = _mom_layout_fracs(
             [
                 (int(self.local_offsets[i]), int(self.shard_rows[i]),
                  cnt[i] / (F * n))
@@ -731,6 +751,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             ],
             self.rows_loc,
         )
+        self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
@@ -818,7 +839,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, self.dim),
             owned.reshape(-1), lr,
-            mom_max_block_share=self.mom_share, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -979,8 +1000,8 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         # uids per device = [f_max, n*B, L] slots of ITS features; the
         # window is one static compile constant for the SPMD program, so
         # the worst DEVICE's worst block gates everyone
-        shares = [
-            _mom_layout_share(
+        per_dev_fracs = [
+            _mom_layout_fracs(
                 [
                     (int(self.table_dev_rowoff[ti]),
                      self.meta.tables[ti].rows,
@@ -991,8 +1012,8 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             )
             for tids in per_dev
         ]
-        shares = [s for s in shares if s is not None]
-        self.mom_share = max(shares) if shares else None
+        self.mom_fracs = _merge_dev_fracs(per_dev_fracs)
+        self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
 
     def weights_shape(self):
         return (self.n, self.rows_max, self.dim)
@@ -1096,7 +1117,7 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             ids_m.reshape(-1), row_grads.reshape(-1, D),
             valid.reshape(-1), lr,
-            mom_max_block_share=self.mom_share, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -1228,13 +1249,14 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         ft = self.meta.feature_table
         F = max(len(ft), 1)
         cnt = np.bincount(ft, minlength=len(self.meta.tables))
-        self.mom_share = _mom_layout_share(
+        self.mom_fracs = _mom_layout_fracs(
             [
                 (int(self.row_offsets[i]), t.rows, cnt[i] / F)
                 for i, t in enumerate(self.meta.tables)
             ],
             self.total_rows,
         )
+        self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
 
     def weights_shape(self):
         return (self.n, self.total_rows, self.cols_loc)
@@ -1306,7 +1328,7 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             gids.reshape(-1), row_grads.reshape(-1, self.cols_loc),
             valid.reshape(-1), lr,
-            mom_max_block_share=self.mom_share, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
