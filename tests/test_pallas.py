@@ -666,3 +666,35 @@ def test_apply_fused_update_mom_split_env(rng, monkeypatch):
     np.testing.assert_allclose(
         new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
     )
+
+
+def test_mom_split_cut_decisions():
+    """The cost-optimal cut: pod-like mixes (several medium blocks) are
+    cheaper on the pure XLA path; a single dominant hot block over an
+    otherwise-uniform layout is where split wins; medium blocks are
+    moved to the dense side rather than inflating the global window."""
+    from torchrec_tpu.ops.cost_model import (
+        mom_split_cut,
+        mom_stream_s,
+        mom_xla_s,
+        mom_needed_rows,
+    )
+
+    N = 26 * 8192
+    # one dominant hot block + 317 uniform cold blocks (R ~ 2.6M)
+    nb = 318
+    uni = (1.0 - 0.6) / (nb - 1)
+    fracs = (0.6,) + (uni,) * (nb - 1)
+    hot, cold_share, cost = mom_split_cut(fracs, N)
+    assert hot == (0,)
+    assert cost < mom_xla_s(N)  # split wins here
+    assert cold_share == uni
+
+    # a medium block (fits at KR=64 but would inflate every window)
+    # joins the hot set when that is cheaper than the inflated stream
+    med = 0.034  # needs ~60 rows
+    fracs2 = (0.6, med) + (uni,) * (nb - 2)
+    hot2, cold2, cost2 = mom_split_cut(fracs2, N)
+    assert 1 in hot2 and 0 in hot2
+    assert mom_needed_rows(med * N) <= 65  # it DID fit; cut by cost
+    assert cost2 < mom_stream_s(nb * 8192.0, N, med)

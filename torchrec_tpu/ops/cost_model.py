@@ -158,6 +158,46 @@ def _mom_overflows(
     return need > (TB + 1) * 128
 
 
+def mom_split_cut(
+    block_fracs, n_elems: float, TB: int = 64
+):
+    """Cost-optimal hot/cold cut for the split momentum dispatch.
+
+    Greedy over the blocks sorted by needed window rows: moving the
+    top-k blocks to the dense one-hot side shrinks the stream kernel's
+    GLOBAL window (its cost is R x KR x 512 FLOP — one medium block
+    inflates every block's window; measured r4: the pod mix's 9222-row
+    table forced KR=64 => 5.5 ms kernel), while each dense block costs
+    ~4 x N x TB x 128 MXU FLOPs. Blocks that cannot fit any window
+    (needed > TB+1) are always hot.
+
+    Returns (hot_blocks, cold_share, split_cost_s).
+    """
+    nb = len(block_fracs)
+    needed = [mom_needed_rows(f * n_elems) for f in block_fracs]
+    order = sorted(range(nb), key=lambda b: -needed[b])
+    k0 = sum(1 for r in needed if r > TB + 1)  # infeasible unskipped
+    table_rows = nb * TB * 128.0
+    best = None
+    for k in range(k0, min(nb, 16) + 1):
+        hot = order[:k]
+        cold = [block_fracs[b] for b in order[k:]]
+        cold_share = max(cold) if cold else None
+        stream = mom_stream_s(table_rows, n_elems, cold_share) if (
+            cold
+        ) else 0.0
+        dense = k * (
+            4.0 * n_elems * TB * 128.0 / MOM_MXU_F32_FLOPS_S
+        ) + (MOM_DENSE_FIXED_S if k else 0.0)
+        total = stream + dense
+        if best is None or total < best[2]:
+            best = (tuple(sorted(hot)), cold_share, total)
+    return best
+
+
+MOM_DENSE_FIXED_S = 0.4e-3  # [N,128] tmp traffic + merges (r4 estimate)
+
+
 def mom_stream_s(
     table_rows: float,
     n_elems: float = 213_000.0,

@@ -663,25 +663,36 @@ def _mom_impl(
         return "split" if block_fracs else "stream"
     if impl in ("stream", "xla"):
         return impl
-    return (
-        "stream" if _use_mom_stream(R, N, max_block_share) else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from torchrec_tpu.ops.cost_model import (
+        mom_split_cut,
+        mom_stream_s,
+        mom_xla_s,
     )
+
+    costs = {
+        "xla": mom_xla_s(N),
+        "stream": mom_stream_s(R, N, max_block_share),
+    }
+    if block_fracs:
+        hot, _, split_cost = mom_split_cut(block_fracs, N)
+        if hot:  # no hot blocks => split degenerates to stream
+            costs["split"] = split_cost
+    return min(costs, key=costs.get)
 
 
 def _mom_hot_blocks(
     block_fracs: "Tuple[float, ...]", N: int, TB: int = 64
 ) -> "Tuple[Tuple[int, ...], Optional[float]]":
-    """(hot block indices, max cold share): hot = expected load needs a
-    window beyond the TB+1 cap, i.e. the stream kernel cannot hold it."""
-    from torchrec_tpu.ops.cost_model import mom_needed_rows
+    """(hot block indices, max cold share): the COST-OPTIMAL cut — a
+    medium block inflates the stream kernel's global window (its cost is
+    R x KR x 512 FLOP), so the cut balances window shrinkage against the
+    per-block dense one-hot cost (cost_model.mom_split_cut)."""
+    from torchrec_tpu.ops.cost_model import mom_split_cut
 
-    hot = tuple(
-        b for b, f in enumerate(block_fracs)
-        if mom_needed_rows(f * N) > TB + 1
-    )
-    hot_set = set(hot)
-    cold = [f for b, f in enumerate(block_fracs) if b not in hot_set]
-    return hot, (max(cold) if cold else None)
+    hot, cold_share, _ = mom_split_cut(block_fracs, N, TB)
+    return hot, cold_share
 
 
 def _mom_dense_hot(
