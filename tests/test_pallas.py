@@ -685,16 +685,63 @@ def test_mom_split_cut_decisions():
     nb = 318
     uni = (1.0 - 0.6) / (nb - 1)
     fracs = (0.6,) + (uni,) * (nb - 1)
-    hot, cold_share, cost = mom_split_cut(fracs, N)
-    assert hot == (0,)
+    dense, tier2, cold_share, kr2, cost = mom_split_cut(fracs, N)
+    assert dense == (0,)
     assert cost < mom_xla_s(N)  # split wins here
     assert cold_share == uni
 
     # a medium block (fits at KR=64 but would inflate every window)
-    # joins the hot set when that is cheaper than the inflated stream
+    # rides the cheap SECOND PASS, not the N-proportional dense side
     med = 0.034  # needs ~60 rows
     fracs2 = (0.6, med) + (uni,) * (nb - 2)
-    hot2, cold2, cost2 = mom_split_cut(fracs2, N)
-    assert 1 in hot2 and 0 in hot2
+    dense2, t2, cold2, kr2b, cost2 = mom_split_cut(fracs2, N)
+    assert dense2 == (0,) and t2 == (1,)
+    assert kr2b >= mom_needed_rows(med * N) and kr2b % 8 == 0
     assert mom_needed_rows(med * N) <= 65  # it DID fit; cut by cost
     assert cost2 < mom_stream_s(nb * 8192.0, N, med)
+    assert cost2 < mom_xla_s(N)  # and the 2-pass split beats XLA too
+
+
+def test_apply_fused_update_mom_split_tier2(rng, monkeypatch):
+    """Two-pass split (dense + tier2 + cold) matches the XLA path; the
+    cut is forced so the tier2 second pass definitely executes."""
+    import torchrec_tpu.ops.fused_update as fu
+
+    block = 64 * 128
+    R2 = 3 * block + 1000
+    D2 = 128
+    N = 16384
+    counts = [1600, 12000, 1900, 884]
+    ranges = [
+        (0, block), (block, 2 * block), (2 * block, 3 * block),
+        (3 * block, R2),
+    ]
+    ids = np.concatenate([
+        rng.randint(lo, hi, size=(c,))
+        for (lo, hi), c in zip(ranges, counts)
+    ]).astype(np.int32)
+    rng.shuffle(ids)
+    flat_ids = jnp.asarray(ids)
+    grads = jnp.asarray(rng.randn(N, D2).astype(np.float32)) * 1e-2
+    valid = jnp.asarray(rng.rand(N) > 0.1)
+    w0 = jnp.asarray(rng.randn(R2, D2).astype(np.float32))
+    opt = init_fused_optimizer_state(R2, D2, EmbOptimType.ROWWISE_ADAGRAD)
+    fracs = tuple(c / N for c in counts)
+
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "xla")
+    ref_w, ref_opt = apply_fused_update(
+        w0, opt, flat_ids, grads, valid, 0.1, mom_block_fracs=fracs
+    )
+    # force: block 1 dense, block 2 through the tier2 second pass
+    monkeypatch.setattr(
+        fu, "_mom_hot_blocks",
+        lambda fr, n, TB=64: ((1,), (2,), fracs[0], 56),
+    )
+    monkeypatch.setenv("TORCHREC_TPU_MOM_IMPL", "split")
+    new_w, new_opt = apply_fused_update(
+        w0, opt, flat_ids, grads, valid, 0.1, mom_block_fracs=fracs
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
+    )

@@ -158,44 +158,62 @@ def _mom_overflows(
     return need > (TB + 1) * 128
 
 
+MOM_DENSE_FIXED_S = 0.4e-3  # [N,128] tmp traffic + merges (r4 chip fit)
+MOM_PASS2_FIXED_S = 0.15e-3  # 2nd kernel sweep: grid + m/sc restream
+
+
 def mom_split_cut(
     block_fracs, n_elems: float, TB: int = 64
 ):
-    """Cost-optimal hot/cold cut for the split momentum dispatch.
+    """Cost-optimal three-way cut for the split momentum dispatch.
 
-    Greedy over the blocks sorted by needed window rows: moving the
-    top-k blocks to the dense one-hot side shrinks the stream kernel's
-    GLOBAL window (its cost is R x KR x 512 FLOP — one medium block
-    inflates every block's window; measured r4: the pod mix's 9222-row
-    table forced KR=64 => 5.5 ms kernel), while each dense block costs
-    ~4 x N x TB x 128 MXU FLOPs. Blocks that cannot fit any window
-    (needed > TB+1) are always hot.
+    The stream kernel's cost is R x KR x 512 FLOP: ONE medium block
+    inflates every block's window (measured r4: the pod mix's 9222-row
+    table forced KR=64 => 5.5 ms kernel). Blocks sorted by needed
+    window rows split into:
+      dense  — can't fit any window (needed > TB+1) or worth the
+               ~4 x N x TB x 128 FLOP one-hot cost;
+      tier2  — fit at a LARGE window: a second kernel pass processes
+               only them (skipped blocks are pass-through), costing
+               just block_rows x KR2 x 512 FLOP each + a fixed sweep;
+      cold   — the base pass at the small window.
 
-    Returns (hot_blocks, cold_share, split_cost_s).
+    Returns (dense_blocks, tier2_blocks, cold_share, kr2, cost_s).
     """
     nb = len(block_fracs)
     needed = [mom_needed_rows(f * n_elems) for f in block_fracs]
     order = sorted(range(nb), key=lambda b: -needed[b])
-    k0 = sum(1 for r in needed if r > TB + 1)  # infeasible unskipped
+    k0 = sum(1 for r in needed if r > TB + 1)  # can't-fit: always dense
     table_rows = nb * TB * 128.0
+    block_rows = TB * 128.0
+    dense_each = 4.0 * n_elems * TB * 128.0 / MOM_MXU_F32_FLOPS_S
     best = None
-    for k in range(k0, min(nb, 16) + 1):
-        hot = order[:k]
-        cold = [block_fracs[b] for b in order[k:]]
-        cold_share = max(cold) if cold else None
-        stream = mom_stream_s(table_rows, n_elems, cold_share) if (
-            cold
-        ) else 0.0
-        dense = k * (
-            4.0 * n_elems * TB * 128.0 / MOM_MXU_F32_FLOPS_S
-        ) + (MOM_DENSE_FIXED_S if k else 0.0)
-        total = stream + dense
-        if best is None or total < best[2]:
-            best = (tuple(sorted(hot)), cold_share, total)
+    for kd in range(k0, min(nb, k0 + 8) + 1):
+        dense_cost = kd * dense_each + (MOM_DENSE_FIXED_S if kd else 0.0)
+        for k2 in range(0, min(nb - kd, 16) + 1):
+            t2 = order[kd : kd + k2]
+            cold = [block_fracs[b] for b in order[kd + k2 :]]
+            cold_share = max(cold) if cold else None
+            kr2 = 0
+            if t2:
+                kr2 = -(-max(needed[b] for b in t2) // 8) * 8
+                kr2 = min(kr2, -(-(TB + 1) // 8) * 8)
+            stream = (
+                mom_stream_s(table_rows, n_elems, cold_share)
+                if cold else 0.0
+            )
+            pass2 = (
+                MOM_PASS2_FIXED_S
+                + k2 * block_rows * kr2 * 512.0 / MOM_MXU_F32_FLOPS_S
+                + table_rows * 8.0 / STREAM_BW_BYTES_S
+            ) if t2 else 0.0
+            total = stream + pass2 + dense_cost
+            if best is None or total < best[4]:
+                best = (
+                    tuple(sorted(order[:kd])), tuple(sorted(t2)),
+                    cold_share, kr2, total,
+                )
     return best
-
-
-MOM_DENSE_FIXED_S = 0.4e-3  # [N,128] tmp traffic + merges (r4 estimate)
 
 
 def mom_stream_s(

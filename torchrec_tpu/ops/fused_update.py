@@ -444,19 +444,38 @@ def apply_fused_update(
                 rowwise_momentum_stream,
             )
 
-            hot_blocks: Tuple[int, ...] = ()
+            dense_blocks: Tuple[int, ...] = ()
+            tier2_blocks: Tuple[int, ...] = ()
             cold_share = mom_max_block_share
+            kr2 = 0
             if mom_impl == "split":
-                hot_blocks, cold_share = _mom_hot_blocks(
-                    mom_block_fracs, N
+                dense_blocks, tier2_blocks, cold_share, kr2 = (
+                    _mom_hot_blocks(mom_block_fracs, N)
                 )
+            gsq32 = g_sq.astype(jnp.float32)
             new_m_s, inv_s, ovf = rowwise_momentum_stream(
-                m, uids, g_sq.astype(jnp.float32), eps=eps,
-                max_block_share=cold_share, skip_blocks=hot_blocks,
+                m, uids, gsq32, eps=eps,
+                max_block_share=cold_share,
+                skip_blocks=dense_blocks + tier2_blocks,
             )
-            if hot_blocks:
+            if tier2_blocks:
+                # second pass at the LARGE window over ONLY the medium
+                # blocks (everything else passes through): per-block
+                # cost is block_rows x KR2 x 512 FLOP, not R x KR2
+                nb2 = -(-R // (64 * 128))
+                skip2 = tuple(
+                    b for b in range(nb2) if b not in set(tier2_blocks)
+                )
+                new_m_s, inv2, ovf2 = rowwise_momentum_stream(
+                    new_m_s, uids, gsq32, eps=eps,
+                    window_rows=kr2, skip_blocks=skip2,
+                )
+                in_t2 = _slots_in_blocks(uids, tier2_blocks, R)
+                inv_s = jnp.where(in_t2, inv2, inv_s)
+                ovf = ovf | ovf2
+            if dense_blocks:
                 new_m_s, inv_s = _mom_dense_hot(
-                    new_m_s, m, uids, g_sq, inv_s, hot_blocks, eps, R
+                    new_m_s, m, uids, g_sq, inv_s, dense_blocks, eps, R
                 )
 
             def _mom_xla(_):
@@ -676,23 +695,39 @@ def _mom_impl(
         "stream": mom_stream_s(R, N, max_block_share),
     }
     if block_fracs:
-        hot, _, split_cost = mom_split_cut(block_fracs, N)
-        if hot:  # no hot blocks => split degenerates to stream
+        dense, tier2, _, _, split_cost = mom_split_cut(block_fracs, N)
+        if dense or tier2:  # else split degenerates to stream
             costs["split"] = split_cost
     return min(costs, key=costs.get)
 
 
 def _mom_hot_blocks(
     block_fracs: "Tuple[float, ...]", N: int, TB: int = 64
-) -> "Tuple[Tuple[int, ...], Optional[float]]":
-    """(hot block indices, max cold share): the COST-OPTIMAL cut — a
-    medium block inflates the stream kernel's global window (its cost is
-    R x KR x 512 FLOP), so the cut balances window shrinkage against the
-    per-block dense one-hot cost (cost_model.mom_split_cut)."""
+):
+    """(dense_blocks, tier2_blocks, cold_share, kr2): the COST-OPTIMAL
+    three-way cut — a medium block inflates the stream kernel's global
+    window (its cost is R x KR x 512 FLOP), so medium blocks go to a
+    second large-window pass and packed blocks to the dense one-hot
+    side (cost_model.mom_split_cut)."""
     from torchrec_tpu.ops.cost_model import mom_split_cut
 
-    hot, cold_share, _ = mom_split_cut(block_fracs, N, TB)
-    return hot, cold_share
+    dense, tier2, cold_share, kr2, _ = mom_split_cut(block_fracs, N, TB)
+    return dense, tier2, cold_share, kr2
+
+
+def _slots_in_blocks(
+    uids: Array, blocks: "Tuple[int, ...]", R: int, TB: int = 64
+) -> Array:
+    """[N] bool: slot's id lands in one of the given momentum blocks."""
+    block = TB * 128
+    uids32 = uids.astype(jnp.int32)
+    out = jnp.zeros(uids.shape, bool)
+    for b in blocks:
+        out = out | (
+            (uids32 >= b * block) & (uids32 < (b + 1) * block)
+            & (uids32 < R)
+        )
+    return out
 
 
 def _mom_dense_hot(
