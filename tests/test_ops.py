@@ -99,6 +99,39 @@ def test_dedup_row_grads_combines_duplicates():
     assert 0 not in acc  # id 0's only occurrence was invalid (pad token)
 
 
+def test_run_total_row_grads_matches_dedup():
+    """run_total_row_grads (scatter-free combine for the per-slot Pallas
+    kernels) must expose the same {real id: total grad} map as
+    dedup_row_grads, with every dup/invalid slot on the skip sentinel."""
+    from torchrec_tpu.ops.fused_update import run_total_row_grads
+
+    rng = np.random.RandomState(3)
+    N, D, R = 96, 4, 17
+    ids = jnp.asarray(rng.randint(0, R, N), jnp.int32)
+    grads = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(N) > 0.3)
+    uids_d, sums_d = dedup_row_grads(ids, grads, valid, R)
+    uids_r, sums_r = run_total_row_grads(ids, grads, valid, R)
+    assert uids_r.shape == (N,) and sums_r.shape == (N, D)
+
+    def as_map(uids, sums, cap):
+        out = {}
+        for u, s in zip(np.asarray(uids), np.asarray(sums)):
+            if u < cap:
+                assert u not in out
+                out[int(u)] = s
+        return out
+
+    md = as_map(uids_d, sums_d, R)
+    mr = as_map(uids_r, sums_r, R)
+    assert set(md) == set(mr)
+    for k in md:
+        np.testing.assert_allclose(mr[k], md[k], rtol=1e-6, atol=1e-7)
+    # non-real slots sit exactly on the pad sentinel the wave kernels skip
+    sent = np.asarray(uids_r)[np.asarray(uids_r) >= R]
+    assert (sent == 2**31 - 1).all()
+
+
 def _dense_reference_step(weights, m_state, ids, lengths, d_pooled, lr, eps, optim):
     """Eager dense-grad reference: scatter full grads then apply optimizer
     row-wise over ALL rows (zero rows are no-ops for these optimizers)."""

@@ -181,6 +181,40 @@ def test_fused_update_with_dedup_slack(weights, rng):
     np.testing.assert_allclose(new_m, ref_opt.momentum1, rtol=1e-6)
 
 
+def test_fused_update_with_run_total_slack(weights, rng):
+    """End-to-end: run_total_row_grads output (scatter-free combine;
+    UNSORTED sentinel-interleaved uids) feeds the per-slot SGD and
+    ADAGRAD wave kernels; dup/sentinel slots must not touch any row."""
+    from torchrec_tpu.ops.fused_update import run_total_row_grads
+
+    n = 64
+    flat_ids = jnp.asarray(rng.randint(0, R, size=(n,)), jnp.int32)
+    grads = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    uids, totals = run_total_row_grads(flat_ids, grads, valid, R)
+
+    new_w = pe.fused_update_sgd(weights, uids, totals, 0.1, interpret=True)
+    opt = init_fused_optimizer_state(R, D, EmbOptimType.EXACT_SGD)
+    ref_w, _ = apply_fused_update(
+        weights, opt, flat_ids, grads, valid, 0.1
+    )
+    np.testing.assert_allclose(new_w, ref_w, rtol=1e-5, atol=1e-6)
+
+    m = jnp.zeros((R, D), jnp.float32) + 0.02
+    new_w2, new_m2 = pe.fused_update_adagrad(
+        weights, m, uids, totals, 0.1, interpret=True
+    )
+    opt2 = init_fused_optimizer_state(R, D, EmbOptimType.ADAGRAD)
+    opt2 = opt2.replace(momentum1=m)
+    ref_w2, ref_opt2 = apply_fused_update(
+        weights, opt2, flat_ids, grads, valid, 0.1
+    )
+    np.testing.assert_allclose(new_w2, ref_w2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        new_m2, ref_opt2.momentum1, rtol=1e-5, atol=1e-7
+    )
+
+
 def test_rowwise_momentum_stream_kernel(rng):
     """Streaming [R/128,128]-tile momentum accumulate + per-id inverse
     scale (r3): exact vs a NumPy reference, including block-boundary

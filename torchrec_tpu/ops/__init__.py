@@ -11,4 +11,5 @@ from torchrec_tpu.ops.fused_update import (  # noqa: F401
     dedup_row_grads,
     init_fused_optimizer_state,
     pooled_grad_to_row_grads,
+    run_total_row_grads,
 )

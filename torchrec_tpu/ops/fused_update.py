@@ -169,6 +169,38 @@ def dedup_row_grads(
     return uids, sums
 
 
+def run_total_row_grads(
+    flat_ids: Array, row_grads: Array, valid: Array, num_rows: int
+) -> Tuple[Array, Array]:
+    """Duplicate-combine WITHOUT the compaction scatters of
+    `dedup_row_grads` — for consumers that only need UNIQUE real slots,
+    not sorted/compacted ones (the per-slot Pallas RMW wave kernels,
+    whose reads clip and whose writes are predicated on uid < R).
+
+    Each real unique row's TOTAL gradient lands at its run's FIRST
+    sorted position (computed by `_run_totals`' chunked one-hot MXU
+    matmul instead of an [N, D] scatter — ~26ns/row dispatch saved);
+    duplicate and invalid slots carry the skip sentinel 2**31 - 1. The
+    returned uids are NOT globally sorted (sentinels interleave), so
+    this form must never feed `indices_are_sorted` XLA ops or the
+    block-windowed rowwise momentum stream kernel.
+    """
+    N = flat_ids.shape[0]
+    ids = jnp.where(valid, flat_ids, num_rows)
+    sid, order = jax.lax.sort_key_val(ids, jnp.arange(N, dtype=jnp.int32))
+    g_sorted = row_grads[order]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(first, pos, 0))
+    totals = _run_totals(g_sorted, run_start)
+    uids = jnp.where(
+        first & (sid < num_rows), sid, jnp.int32(2**31 - 1)
+    )
+    return uids, totals
+
+
 _RUN_TOTAL_CHUNK = 512
 
 
@@ -302,7 +334,18 @@ def apply_fused_update(
     if (
         _use_pallas(weights.dtype, 1) or auto_pallas
     ) and optim_supports_pallas(opt_state.optim):
-        uids_c, g_c = dedup_row_grads(flat_ids, row_grads, valid, R)
+        # ROWWISE_ADAGRAD's momentum machinery (XLA sorted-hint scatter/
+        # gather + block-windowed stream kernel) needs sorted compacted
+        # uids; every other Pallas optimizer is a pure per-slot wave
+        # kernel, so the scatter-free run-total form feeds it directly
+        # (saves the [N, D] segment-sum + [N] compaction scatters —
+        # ~7ms/step at bench N on v5e, the HBM-scale gap's main term).
+        if opt_state.optim is EmbOptimType.ROWWISE_ADAGRAD:
+            uids_c, g_c = dedup_row_grads(flat_ids, row_grads, valid, R)
+        else:
+            uids_c, g_c = run_total_row_grads(
+                flat_ids, row_grads, valid, R
+            )
         return _apply_fused_update_pallas(
             weights, opt_state, uids_c, g_c, learning_rate,
             eps=eps, weight_decay=weight_decay, beta1=beta1, beta2=beta2,
