@@ -48,6 +48,45 @@ def pallas_update_s(rows_touched: float) -> float:
     return rows_touched * PALLAS_RMW_NS_PER_ROW * 1e-9
 
 
+def unique_slot_cap(unique_entries, n_slots: int) -> int:
+    """HARD upper bound on unique real rows in an update's id list.
+
+    unique_entries: per-device tuples of (rows_t, slot_frac_t) for the
+    packed operand layout — slot_frac_t is the fraction of the N update
+    slots that carry table t's ids (a deterministic layout constant:
+    feats_t / F-slots, NOT the expected per-device load). A table can
+    never contribute more unique rows than min(its slot count, its local
+    row count), so the per-device sum is a hard bound; SPMD compiles one
+    program, so the worst device gates everyone.
+    """
+    import math
+
+    caps = [
+        sum(min(int(math.ceil(f * n_slots)), int(r)) for r, f in dev)
+        for dev in unique_entries
+        if dev
+    ]
+    return max(caps) if caps else n_slots
+
+
+# Compact pre-pass overheads (measured r4, tools/bench_compact_r4.py):
+# one extra [N] int sort + one [cap, D] row gather + the run-total
+# one-hot matmul the SGD fast path otherwise skips. Engage only when the
+# scatter-slot saving clearly beats that.
+COMPACT_EXTRA_NS_PER_SLOT = 5.0  # sort + run-total matmul, per input slot
+
+
+def use_compact_prepass(n_slots: int, cap: int) -> bool:
+    """True when compacting N update slots to `cap` unique slots wins.
+
+    Saving: (N - cap) scatter-dispatch rows. Cost: the extra sort +
+    run-total matmul over N slots plus a [cap, D] gather.
+    """
+    saving = (n_slots - cap) * SCATTER_NS_PER_ROW
+    cost = n_slots * COMPACT_EXTRA_NS_PER_SLOT + cap * GATHER_NS_PER_ROW
+    return saving > 1.5 * cost
+
+
 def fused_update_s(rows_touched: float, operand_bytes: float) -> float:
     """Best achievable update time — the runtime picks the cheaper kernel
     (ops/fused_update.py auto dispatch), so the planner models min()."""

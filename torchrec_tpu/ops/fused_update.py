@@ -201,6 +201,52 @@ def run_total_row_grads(
     return uids, totals
 
 
+def compact_row_grads(
+    flat_ids: Array,
+    row_grads: Array,
+    valid: Array,
+    num_rows: int,
+    cap: int,
+) -> Tuple[Array, Array, Array]:
+    """Shrink N update slots to `cap` slots holding the UNIQUE real rows'
+    total gradients (sorted ascending), padded with the `num_rows`
+    sentinel. EXACT whenever cap >= the true unique count — callers pass
+    the layout's hard bound (ops/cost_model.unique_slot_cap), so no
+    overflow branch exists.
+
+    Scatter-free: duplicate runs combine via `_run_totals`' chunked
+    one-hot MXU matmul; the compaction itself is a second [N] key sort
+    (run-first slots keep their id, every other slot keys past the reals)
+    followed by a [cap, D] permutation gather. XLA's scatter charges
+    ~26ns per SLOT regardless of drops (measured r4,
+    tools/bench_scatter_dropslots_r4.py), so slot count is the only
+    scatter lever — this buys (N - cap) slots on every downstream
+    scatter/gather at dup-heavy mixes (the pod MLPerf shard is 28%
+    unique).
+
+    Returns (ids [cap], grads [cap, D], valid [cap]).
+    """
+    N = flat_ids.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ids = jnp.where(valid, flat_ids, num_rows)
+    sid, order = jax.lax.sort_key_val(ids, pos)
+    g_sorted = row_grads[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(first, pos, 0))
+    totals = _run_totals(g_sorted, run_start)
+    fmask = first & (sid < num_rows)
+    # run-first real slots keep their (unique) id; everything else keys
+    # strictly past them, distinct, in position order -> one sort yields
+    # [unique ids ascending | dup/invalid tail]
+    key2 = jnp.where(fmask, sid, num_rows + pos)
+    k2s, perm = jax.lax.sort_key_val(key2, pos)
+    ids_c = jnp.minimum(k2s[:cap], num_rows)  # tail -> plain sentinel
+    g_c = totals[perm[:cap]]
+    return ids_c, g_c, ids_c < num_rows
+
+
 _RUN_TOTAL_CHUNK = 512
 
 
@@ -278,6 +324,7 @@ def apply_fused_update(
     stochastic_rounding: bool = True,
     mom_max_block_share: "Optional[float]" = None,
     mom_block_fracs: "Optional[Tuple[float, ...]]" = None,
+    unique_entries: "Optional[Tuple[Tuple[Tuple[int, float], ...], ...]]" = None,
 ) -> Tuple[Array, FusedOptimizerState]:
     """Apply one fused sparse optimizer step to touched rows only.
 
@@ -294,6 +341,10 @@ def apply_fused_update(
         enables the split dispatch (TORCHREC_TPU_MOM_IMPL=split): hot
         blocks handled densely on the XLA side while the stream kernel
         skips them.
+    unique_entries: per-device (rows_t, slot_frac_t) layout constants
+        (ops/cost_model.unique_slot_cap input) bounding the unique real
+        rows; enables the static-cap compaction pre-pass at dup-heavy
+        layouts (tiny tables, few features per slot).
 
     Semantics match FBGEMM per optimizer:
       SGD:             w -= lr * g
@@ -314,6 +365,35 @@ def apply_fused_update(
     R = weights.shape[0]
     if mom_max_block_share is None and mom_block_fracs:
         mom_max_block_share = max(mom_block_fracs)
+
+    # --- static-cap compaction pre-pass (dup-heavy layouts) ---------------
+    # unique_entries (per-device (rows_t, slot_frac_t) layout constants)
+    # bound the unique real rows HARD; when that cap is well below N,
+    # shrink the slot list once up front — every downstream scatter,
+    # gather, and momentum op then pays `cap` dispatch rows instead of N.
+    # TORCHREC_TPU_COMPACT=never|auto|always overrides the cost model.
+    from torchrec_tpu.ops.cost_model import (
+        unique_slot_cap,
+        use_compact_prepass,
+    )
+
+    _N0 = flat_ids.shape[0]
+    _compact_mode = os.environ.get("TORCHREC_TPU_COMPACT", "auto")
+    if (
+        unique_entries
+        and _compact_mode != "never"
+        and _N0 % _RUN_TOTAL_CHUNK == 0
+        and _N0 >= 4 * _RUN_TOTAL_CHUNK
+        and row_grads.shape[1] % 128 == 0
+    ):
+        _cap = unique_slot_cap(unique_entries, _N0)
+        _cap = min(_N0, -(-_cap // _RUN_TOTAL_CHUNK) * _RUN_TOTAL_CHUNK)
+        if _cap < _N0 and (
+            _compact_mode == "always" or use_compact_prepass(_N0, _cap)
+        ):
+            flat_ids, row_grads, valid = compact_row_grads(
+                flat_ids, row_grads, valid, R, _cap
+            )
 
     from torchrec_tpu.ops.embedding import _use_pallas
 

@@ -141,6 +141,16 @@ def _mom_layout_fracs(entries, total_rows: int):
     return mom_block_fracs(offs, rows, fr, total_rows)
 
 
+def _uniq_entries(rows_fracs):
+    """Static (rows_t, slot_frac_t) tuple for ops/cost_model.
+    unique_slot_cap — slot_frac is the DETERMINISTIC fraction of update
+    slots carrying table t's ids (feature count over slot count), not
+    the expected per-device load `_mom_layout_fracs` uses."""
+    return tuple(
+        (int(r), float(f)) for (r, f) in rows_fracs if r > 0 and f > 0
+    )
+
+
 def _pad_tail(arr, total_rows: int, axis: int = 0):
     """Zero-pad `arr` along `axis` up to `total_rows` (ROW_TILE slack).
 
@@ -609,6 +619,9 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
             self.total_rows,
         )
         self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
+        self.uniq_entries = (_uniq_entries(
+            (t.rows, cnt[i] / F) for i, t in enumerate(self.meta.tables)
+        ),)
 
     def weights_shape(self):
         return (self.total_rows, self.dim)
@@ -752,6 +765,12 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             self.rows_loc,
         )
         self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
+        # slot fracs: the gathered list holds ALL of table t's global
+        # slots (cnt/F of N), while only shard_rows of it live here
+        self.uniq_entries = (_uniq_entries(
+            (int(self.shard_rows[i]), cnt[i] / F)
+            for i in range(len(self.meta.tables))
+        ),)
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
@@ -1014,6 +1033,14 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         ]
         self.mom_fracs = _merge_dev_fracs(per_dev_fracs)
         self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
+        self.uniq_entries = tuple(
+            _uniq_entries(
+                (self.meta.tables[ti].rows,
+                 len(feats_of_table[ti]) / self.f_max)
+                for ti in tids
+            )
+            for tids in per_dev
+        )
 
     def weights_shape(self):
         return (self.n, self.rows_max, self.dim)
@@ -1257,6 +1284,9 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             self.total_rows,
         )
         self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
+        self.uniq_entries = (_uniq_entries(
+            (t.rows, cnt[i] / F) for i, t in enumerate(self.meta.tables)
+        ),)
 
     def weights_shape(self):
         return (self.n, self.total_rows, self.cols_loc)
