@@ -81,6 +81,69 @@ def test_uvm_cache_training_parity():
     assert uvm.misses > 0 and uvm.hits > 0  # cache actually exercised
 
 
+def _run_cached_optim(table, batches, optim):
+    uvm = UvmCachedEmbedding(table.copy(), cache_rows=C, optim=optim)
+    for ids, lengths, d_pooled in batches:
+        slots = uvm.prepare(ids)
+        mask = (np.arange(L)[None, :] < lengths[:, None])
+        row_grads = np.repeat(d_pooled[:, None, :], L, axis=1)
+        uvm.update(
+            jnp.asarray(slots).reshape(-1),
+            jnp.asarray(row_grads.reshape(-1, D)),
+            jnp.asarray(mask.reshape(-1)),
+            LR,
+        )
+    uvm.flush()
+    return uvm
+
+
+def _run_uncached_optim(table, batches, optim):
+    from torchrec_tpu.ops.fused_update import init_fused_optimizer_state
+
+    w = jnp.asarray(table)
+    opt = init_fused_optimizer_state(R, D, optim)
+    for ids, lengths, d_pooled in batches:
+        mask = (np.arange(L)[None, :] < lengths[:, None])
+        row_grads = np.repeat(d_pooled[:, None, :], L, axis=1)
+        w, opt = apply_fused_update(
+            w, opt, jnp.asarray(ids.reshape(-1)),
+            jnp.asarray(row_grads.reshape(-1, D)),
+            jnp.asarray(mask.reshape(-1)), LR,
+        )
+    return np.asarray(w), opt
+
+
+def test_uvm_cache_all_optimizers_golden_parity():
+    """VERDICT r4 item 9: fbgemm's UVM locations take the FULL optimizer
+    set (ref torchrec/distributed/embedding_types.py:57-76). Training
+    through the cache under eviction pressure must reproduce the
+    uncached fused update exactly for every optimizer — weights AND both
+    momentum slots."""
+    import pytest  # noqa: F401
+
+    rng = np.random.RandomState(7)
+    table = rng.randn(R, D).astype(np.float32)
+    batches = _batches(6, seed=3)
+    for optim in EmbOptimType:
+        uvm = _run_cached_optim(table, batches, optim)
+        ref_w, ref_opt = _run_uncached_optim(table, batches, optim)
+        np.testing.assert_allclose(
+            uvm.table, ref_w, rtol=1e-5, atol=1e-6, err_msg=str(optim)
+        )
+        for host_m, ref_m in (
+            (uvm.host_momentum1, ref_opt.momentum1),
+            (uvm.host_momentum2, ref_opt.momentum2),
+        ):
+            assert (host_m is None) == (ref_m is None), optim
+            if host_m is not None:
+                np.testing.assert_allclose(
+                    host_m, np.asarray(ref_m), rtol=1e-5, atol=1e-6,
+                    err_msg=str(optim),
+                )
+        assert int(uvm.step) == int(ref_opt.step)
+        assert uvm.misses > 0  # eviction/staging actually exercised
+
+
 def test_uvm_cache_eviction_pressure():
     """Working set far larger than the cache: every row still correct."""
     rng = np.random.RandomState(1)
@@ -387,11 +450,20 @@ def test_dmp_uvm_through_train_pipeline():
     assert dmp2._uvm_mods["dlrm/embedding_bag_collection"].cache_stats()
 
 
-def test_dmp_all_uvm_module_exact_momentum_resume():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "optim", ["rowwise_adagrad", "adam"]
+)
+def test_dmp_all_uvm_module_exact_momentum_resume(optim):
     """A module whose EVERY table is FUSED_UVM_CACHING (no device shard at
-    all) trains through DMP, and rowwise-Adagrad resume through
+    all) trains through DMP, and optimizer resume through
     state_dict -> load_tables(uvm_momentum=...) is EXACT: the restored
-    run produces bit-identical tables to the uninterrupted run."""
+    run produces bit-identical tables to the uninterrupted run.
+    Parametrized over rowwise-Adagrad (momentum1 only) and Adam
+    (momentum1 + momentum2 + bias-correction step — the r5 UVM
+    full-optimizer surface, VERDICT r4 item 9)."""
     import flax.linen as nn
     import jax
     import optax
@@ -449,7 +521,10 @@ def test_dmp_all_uvm_module_exact_momentum_resume():
                 compute_kernel=ComputeKernel.FUSED_UVM_CACHING,
                 ranks=[0],
             )}}),
-            fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+            fused_optim={
+                "rowwise_adagrad": EmbOptimType.ROWWISE_ADAGRAD,
+                "adam": EmbOptimType.ADAM,
+            }[optim],
             fused_params={"learning_rate": 0.1},
             dense_optimizer=optax.sgd(0.05),  # stateless: exact resume
         )

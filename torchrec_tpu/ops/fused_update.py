@@ -28,6 +28,7 @@ are dropped by XLA scatter's OOB-drop mode.
 from __future__ import annotations
 
 import enum
+import os
 from typing import Optional, Tuple
 
 import jax

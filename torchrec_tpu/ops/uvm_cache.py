@@ -37,6 +37,7 @@ from torchrec_tpu.ops.fused_update import (
     EmbOptimType,
     FusedOptimizerState,
     apply_fused_update,
+    fused_state_shapes,
 )
 
 Array = jax.Array
@@ -44,6 +45,12 @@ Array = jax.Array
 
 class UvmCachedEmbedding:
     """LRU software cache for one host-resident table.
+
+    Supports the FULL fused optimizer set (fbgemm's UVM locations take
+    every optimizer, ref torchrec/distributed/embedding_types.py:57-76):
+    momentum state — rowwise [R] and/or full [R, D] per
+    `fused_state_shapes` — lives on the host beside the table and is
+    staged/evicted with the rows it belongs to.
 
     Args:
         table: [R, D] float32 numpy array (host memory; mutated in place
@@ -60,30 +67,32 @@ class UvmCachedEmbedding:
         optim: EmbOptimType = EmbOptimType.ROWWISE_ADAGRAD,
         optim_kwargs: Optional[dict] = None,
     ):
-        if optim not in (
-            EmbOptimType.SGD,
-            EmbOptimType.EXACT_SGD,
-            EmbOptimType.ROWWISE_ADAGRAD,
-        ):
-            raise NotImplementedError(
-                "UvmCachedEmbedding supports SGD and ROWWISE_ADAGRAD"
-            )
         self.table = table
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
         R, D = table.shape
         self.R, self.D, self.C = R, D, int(cache_rows)
-        self.host_momentum = (
-            np.zeros((R,), np.float32)
-            if optim is EmbOptimType.ROWWISE_ADAGRAD
-            else None
-        )
+        k1, k2 = fused_state_shapes(optim)
+
+        def _host(kind):
+            if kind == "row":
+                return np.zeros((R,), np.float32)
+            if kind == "full":
+                return np.zeros((R, D), np.float32)
+            return None
+
+        def _dev(kind):
+            if kind == "row":
+                return jnp.zeros((self.C,), jnp.float32)
+            if kind == "full":
+                return jnp.zeros((self.C, D), jnp.float32)
+            return None
+
+        self.host_momentum1 = _host(k1)
+        self.host_momentum2 = _host(k2)
         self.cache_w = jnp.zeros((self.C, D), jnp.float32)
-        self.cache_m = (
-            jnp.zeros((self.C,), jnp.float32)
-            if self.host_momentum is not None
-            else None
-        )
+        self.cache_m1 = _dev(k1)
+        self.cache_m2 = _dev(k2)
         self.step = jnp.zeros((), jnp.int32)
         # host-side cache directory
         self.slot_of: Dict[int, int] = {}
@@ -95,6 +104,24 @@ class UvmCachedEmbedding:
         # counters (the reference exposes UVM cache stats)
         self.hits = 0
         self.misses = 0
+
+    # back-compat aliases (pre-r5 surface: rowwise momentum only)
+    @property
+    def host_momentum(self):
+        return self.host_momentum1
+
+    @property
+    def cache_m(self):
+        return self.cache_m1
+
+    def _momentum_pairs(self):
+        """(host array, cache attr name) for each live momentum slot."""
+        out = []
+        if self.host_momentum1 is not None:
+            out.append((self.host_momentum1, "cache_m1"))
+        if self.host_momentum2 is not None:
+            out.append((self.host_momentum2, "cache_m2"))
+        return out
 
     # -- host-side cache management -----------------------------------------
 
@@ -121,9 +148,12 @@ class UvmCachedEmbedding:
             rows = jnp.asarray(self.table[miss])
             sl = jnp.asarray(slots)
             self.cache_w = self.cache_w.at[sl].set(rows)
-            if self.cache_m is not None:
-                self.cache_m = self.cache_m.at[sl].set(
-                    jnp.asarray(self.host_momentum[miss])
+            for host_m, attr in self._momentum_pairs():
+                setattr(
+                    self, attr,
+                    getattr(self, attr).at[sl].set(
+                        jnp.asarray(host_m[miss])
+                    ),
                 )
             for r, s in zip(miss, slots.tolist()):
                 self.slot_of[r] = s
@@ -160,9 +190,9 @@ class UvmCachedEmbedding:
         if dirty_v.size:
             rows_back = np.asarray(self.cache_w[jnp.asarray(dirty_v)])
             self.table[self.row_in_slot[dirty_v]] = rows_back
-            if self.cache_m is not None:
-                self.host_momentum[self.row_in_slot[dirty_v]] = np.asarray(
-                    self.cache_m[jnp.asarray(dirty_v)]
+            for host_m, attr in self._momentum_pairs():
+                host_m[self.row_in_slot[dirty_v]] = np.asarray(
+                    getattr(self, attr)[jnp.asarray(dirty_v)]
                 )
         for s in victims.tolist():
             del self.slot_of[self.row_in_slot[s]]
@@ -190,9 +220,9 @@ class UvmCachedEmbedding:
     def _sync_back(self, slots: np.ndarray) -> None:
         rows = np.asarray(self.cache_w[jnp.asarray(slots)])
         self.table[self.row_in_slot[slots]] = rows
-        if self.cache_m is not None:
-            self.host_momentum[self.row_in_slot[slots]] = np.asarray(
-                self.cache_m[jnp.asarray(slots)]
+        for host_m, attr in self._momentum_pairs():
+            host_m[self.row_in_slot[slots]] = np.asarray(
+                getattr(self, attr)[jnp.asarray(slots)]
             )
 
     # -- device-side compute (same fused kernels, slot-translated ids) ------
@@ -219,8 +249,8 @@ class UvmCachedEmbedding:
     ) -> None:
         """Fused optimizer step on cached rows; marks them dirty."""
         opt = FusedOptimizerState(
-            momentum1=self.cache_m,
-            momentum2=None,
+            momentum1=self.cache_m1,
+            momentum2=self.cache_m2,
             step=self.step,
             optim=self.optim,
         )
@@ -229,7 +259,8 @@ class UvmCachedEmbedding:
             learning_rate, **self.optim_kwargs,
         )
         self.cache_w = new_w
-        self.cache_m = new_opt.momentum1
+        self.cache_m1 = new_opt.momentum1
+        self.cache_m2 = new_opt.momentum2
         self.step = new_opt.step
         touched = np.unique(np.asarray(flat_slot_ids)[np.asarray(valid)])
         self.dirty[touched] = True

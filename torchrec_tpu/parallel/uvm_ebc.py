@@ -158,25 +158,45 @@ class UvmEmbeddingBagCollection:
         }
 
     def momentum_dict(self) -> Dict[str, np.ndarray]:
-        """Flushed per-table optimizer momentum (rowwise-Adagrad [R];
-        empty for SGD) — the analogue of fbgemm split_optimizer_states
-        (batched_embedding_kernel.py:204-246)."""
+        """Flushed per-table optimizer momentum — the analogue of fbgemm
+        split_optimizer_states (batched_embedding_kernel.py:204-246).
+        First moments under the table name; second moments (Adam/LAMB
+        families) under `<name>.m2` (the suffix keeps the checkpoint key
+        `uvmopt/{module}/{entry}` slash-free and old rowwise checkpoints
+        loadable unchanged)."""
         self.flush()
-        return {
-            t.name: np.array(self._uvm[t.name].host_momentum, copy=True)
-            for t in self.tables
-            if self._uvm[t.name].host_momentum is not None
-        }
+        out: Dict[str, np.ndarray] = {}
+        for t in self.tables:
+            uvm = self._uvm[t.name]
+            if uvm.host_momentum1 is not None:
+                out[t.name] = np.array(uvm.host_momentum1, copy=True)
+            if uvm.host_momentum2 is not None:
+                out[t.name + ".m2"] = np.array(
+                    uvm.host_momentum2, copy=True
+                )
+            if uvm.host_momentum1 is not None and int(uvm.step):
+                # Adam-family bias correction depends on the step count
+                out[t.name + ".step"] = np.asarray(uvm.step)
+        return out
 
     def load_momentum(self, momentum: Dict[str, np.ndarray]) -> None:
         """Restore host momentum (exact optimizer resume). Invalidates the
         row cache so resident rows can't serve stale momentum."""
         for name, m in momentum.items():
+            if name.endswith(".step"):
+                uvm = self._uvm[name[:-len(".step")]]
+                uvm.invalidate()
+                uvm.step = jnp.asarray(m, jnp.int32)
+                continue
+            slot = "host_momentum1"
+            if name.endswith(".m2"):
+                name, slot = name[:-len(".m2")], "host_momentum2"
             uvm = self._uvm[name]
-            if uvm.host_momentum is None:
+            host = getattr(uvm, slot)
+            if host is None:
                 raise ValueError(f"table {name} has no momentum state")
             uvm.invalidate()
-            uvm.host_momentum[:] = np.asarray(m, np.float32)
+            host[:] = np.asarray(m, np.float32)
 
     def cache_stats(self) -> Dict[str, Dict[str, int]]:
         return {
