@@ -281,3 +281,93 @@ def test_cap_rounds_to_chunk_multiple():
     assert cap == R
     rounded = min(N, -(-cap // 512) * 512)
     assert rounded == 512 and rounded % 512 == 0
+
+
+# ------------------------------------------------------- through DMP ---
+
+
+def test_compact_engages_and_matches_through_dmp(monkeypatch):
+    """Pod-mix regime through the FULL sharded train step: tiny tables
+    (the MLPerf shard's 3-row-table case) make the layout cap bind, the
+    pre-pass engages inside the RW strategy's shard_map program, and
+    3 training steps match the uncompacted run on every table."""
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    B, L, D_ = 512, 1, 128
+    rows = (8, 8, 8, 8)  # tiny: unique rows << slots, cap binds hard
+    tables = tuple(
+        EmbeddingBagConfig(
+            num_embeddings=rows[i], embedding_dim=D_, name=f"t{i}",
+            feature_names=[f"f{i}"],
+        )
+        for i in range(4)
+    )
+
+    class M(nn.Module):
+        ebc: nn.Module
+
+        @nn.compact
+        def __call__(self, sb, labels):
+            logits = nn.Dense(1)(self.ebc(sb).values)[:, 0]
+            y = labels.astype(logits.dtype)
+            loss = jnp.mean(
+                jnp.maximum(logits, 0) - logits * y
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return loss, (loss, logits)
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        vals = np.concatenate(
+            [r.randint(0, rows[i], B).astype(np.int32) for i in range(4)]
+        )
+        sb = KeyedJaggedTensor.from_lengths(
+            [f"f{i}" for i in range(4)], jnp.asarray(vals),
+            jnp.asarray(np.ones((4 * B,), np.int32)),
+        ).to_padded(L)
+        return sb, jnp.asarray((vals[:B] % 2).astype(np.float32))
+
+    def train(mode, spy_calls=None):
+        monkeypatch.setenv("TORCHREC_TPU_COMPACT", mode)
+        dmp = DistributedModelParallel(
+            M(ebc=EmbeddingBagCollection(tables=tables,
+                                         max_feature_length=L)),
+            env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"ebc": {
+                f"t{i}": ParameterSharding(ShardingType.ROW_WISE)
+                for i in range(4)
+            }}),
+            fused_optim=EmbOptimType.ROWWISE_ADAGRAD,
+            fused_params={"learning_rate": 0.1},
+            dense_optimizer=optax.sgd(0.05),
+        )
+        sb0, lab0 = batch(0)
+        state = dmp.init(jax.random.PRNGKey(0), sb0, lab0)
+        step = dmp.make_train_step(donate=False)
+        for i in range(3):
+            state, _, _ = step(state, *batch(i))
+        return dmp.state_dict(state)["embeddings/ebc"]
+
+    base = train("never")
+    calls = _spy(monkeypatch)
+    got = train("always")
+    assert calls, "compaction pre-pass never engaged through DMP"
+    for name in base:
+        np.testing.assert_allclose(
+            got[name], base[name], rtol=1e-6, atol=1e-7, err_msg=name
+        )

@@ -705,6 +705,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
             new_w, new_opt = apply_fused_update(
                 w, opt, ids_all, grads_all, valid_all, lr,
                 mom_block_fracs=self.mom_fracs,
+                unique_entries=self.uniq_entries,
                 **self.optim_kwargs,
             )
             return new_w, new_opt
@@ -858,7 +859,8 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, self.dim),
             owned.reshape(-1), lr,
-            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs,
+            unique_entries=self.uniq_entries, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -1144,7 +1146,8 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             ids_m.reshape(-1), row_grads.reshape(-1, D),
             valid.reshape(-1), lr,
-            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs,
+            unique_entries=self.uniq_entries, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -1358,7 +1361,8 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             gids.reshape(-1), row_grads.reshape(-1, self.cols_loc),
             valid.reshape(-1), lr,
-            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs,
+            unique_entries=self.uniq_entries, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
