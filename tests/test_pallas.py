@@ -779,3 +779,76 @@ def test_apply_fused_update_mom_split_tier2(rng, monkeypatch):
     np.testing.assert_allclose(
         new_opt.momentum1, ref_opt.momentum1, rtol=1e-6, atol=1e-7
     )
+
+
+def test_scatter_rows_write(weights, rng):
+    """Write-only row scatter (r5): real slots written, sentinel slots
+    skipped, non-targeted rows untouched."""
+    n = 96
+    uids_np = np.sort(rng.choice(R, size=n, replace=False)).astype(np.int32)
+    uids = np.concatenate(
+        [uids_np, np.full(32, 2**31 - 1, np.int64)]
+    ).astype(np.int32)
+    rows = rng.randn(n + 32, D).astype(np.float32)
+    out = pe.scatter_rows_write(
+        weights, jnp.asarray(uids), jnp.asarray(rows), T=32,
+        interpret=True,
+    )
+    ref = np.array(weights, copy=True)
+    ref[uids_np] = rows[:n]
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_fused_sgd_write_impl_parity(weights, rng, monkeypatch):
+    """w_impl='write' (XLA gather + write-only scatter) must match the
+    RMW wave kernel bit-for-bit through the full pallas dispatch,
+    including run-total sentinel-interleaved ids."""
+    from torchrec_tpu.ops.fused_update import (
+        _apply_fused_update_pallas,
+        run_total_row_grads,
+    )
+
+    ids = jnp.asarray(rng.randint(0, R, 128).astype(np.int32))
+    g = jnp.asarray(rng.randn(128, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(128) > 0.2)
+    uids, g_c = run_total_row_grads(ids, g, valid, R)
+    opt = init_fused_optimizer_state(R, D, EmbOptimType.EXACT_SGD)
+
+    outs = {}
+    for impl in ("rmw", "write"):
+        monkeypatch.setenv("TORCHREC_TPU_W_IMPL", impl)
+        new_w, _ = _apply_fused_update_pallas(
+            weights, opt, uids, g_c, jnp.float32(0.05),
+            eps=1e-8, weight_decay=0.0, beta1=0.9, beta2=0.999,
+        )
+        outs[impl] = np.asarray(new_w)
+    np.testing.assert_allclose(
+        outs["write"], outs["rmw"], rtol=1e-6, atol=1e-7
+    )
+
+
+def test_fused_rowwise_write_impl_parity(weights, rng):
+    uids = _unique_ids(rng, 100)
+    g = jnp.asarray(rng.randn(100, D).astype(np.float32))
+    m = jnp.asarray(rng.rand(R).astype(np.float32))
+    w_rmw, m_rmw = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, g, 0.05, weight_decay=0.01, w_impl="rmw",
+        interpret=True,
+    )
+    w_wr, m_wr = pe.fused_update_rowwise_adagrad(
+        weights, m, uids, g, 0.05, weight_decay=0.01, w_impl="write",
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_wr), np.asarray(w_rmw), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(m_wr), np.asarray(m_rmw))
+
+
+def test_w_impl_auto_picks_write():
+    from torchrec_tpu.ops.fused_update import _w_impl
+
+    # measured: gather+write 47 ns/row < RMW 67 — auto picks write at
+    # every N (both are linear in N); overrides win
+    assert _w_impl(1000) == "write"
+    assert _w_impl(1000, default="rmw") == "rmw"

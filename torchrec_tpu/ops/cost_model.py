@@ -28,6 +28,16 @@ GATHER_NS_PER_ROW = 8.6
 SCATTER_NS_PER_ROW = 26.0
 PALLAS_RMW_NS_PER_ROW = 67.0
 STREAM_BW_BYTES_S = 630.0e9
+# Gather+write update (r5, tools/bench_write_kernel_r5.py): XLA's native
+# gather does the read half at ~8.6 ns/row, a write-only Pallas kernel
+# (scatter_rows_write) the write half at ~35 ns/row (1 start + 1 wait
+# per row vs the RMW kernels' 4 scalar-core ops/row) — full EXACT_SGD
+# update measured 46.6 ns/row at R=18.2M and 47.3 at R=3.19M
+# (table-size independent). Run-coalescing was ALSO evaluated for the
+# r4 "70 ns/row floor" question and measured analytically worthless at
+# uniform ids (mean adjacent-run length 1.012 -> <=1.2% descriptor
+# saving, NOTES_r5.md); the real lever was halving descriptors/row.
+PALLAS_GW_NS_PER_ROW = 47.0
 
 
 def fused_lookup_s(rows_touched: float) -> float:
@@ -46,6 +56,12 @@ def xla_update_s(rows_touched: float, operand_bytes: float) -> float:
 def pallas_update_s(rows_touched: float) -> float:
     """Pallas per-row RMW update time (table-size independent)."""
     return rows_touched * PALLAS_RMW_NS_PER_ROW * 1e-9
+
+
+def gather_write_update_s(rows_touched: float) -> float:
+    """XLA gather + Pallas write-only scatter update (table-size
+    independent; SGD/rowwise w-side)."""
+    return rows_touched * PALLAS_GW_NS_PER_ROW * 1e-9
 
 
 def unique_slot_cap(unique_entries, n_slots: int) -> int:
@@ -93,6 +109,7 @@ def fused_update_s(rows_touched: float, operand_bytes: float) -> float:
     return min(
         xla_update_s(rows_touched, operand_bytes),
         pallas_update_s(rows_touched),
+        gather_write_update_s(rows_touched),
     )
 
 

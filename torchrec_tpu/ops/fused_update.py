@@ -326,6 +326,9 @@ def apply_fused_update(
     mom_max_block_share: "Optional[float]" = None,
     mom_block_fracs: "Optional[Tuple[float, ...]]" = None,
     unique_entries: "Optional[Tuple[Tuple[Tuple[int, float], ...], ...]]" = None,
+    compact: str = "auto",
+    mom_impl: str = "auto",
+    w_impl: str = "auto",
 ) -> Tuple[Array, FusedOptimizerState]:
     """Apply one fused sparse optimizer step to touched rows only.
 
@@ -346,6 +349,18 @@ def apply_fused_update(
         (ops/cost_model.unique_slot_cap input) bounding the unique real
         rows; enables the static-cap compaction pre-pass at dup-heavy
         layouts (tiny tables, few features per slot).
+    compact: "never" | "auto" | "always" — compaction pre-pass policy.
+        A documented fused_params key (like the reference fused_params
+        contract, ref embedding_types.py:240-243); the
+        TORCHREC_TPU_COMPACT env var overrides it for debugging.
+    mom_impl: "xla" | "stream" | "split" | "auto" — rowwise-momentum
+        implementation. fused_params key; TORCHREC_TPU_MOM_IMPL
+        overrides.
+    w_impl: "rmw" | "write" | "auto" — Pallas weight-update form: the
+        in-place RMW wave kernels (4 scalar-core DMA ops/row) or XLA
+        gather + write-only scatter (measured 47 vs 67-72 ns/row,
+        tools/bench_write_kernel_r5.py). fused_params key;
+        TORCHREC_TPU_W_IMPL overrides.
 
     Semantics match FBGEMM per optimizer:
       SGD:             w -= lr * g
@@ -379,7 +394,7 @@ def apply_fused_update(
     )
 
     _N0 = flat_ids.shape[0]
-    _compact_mode = os.environ.get("TORCHREC_TPU_COMPACT", "auto")
+    _compact_mode = os.environ.get("TORCHREC_TPU_COMPACT", compact)
     if (
         unique_entries
         and _compact_mode != "never"
@@ -403,11 +418,16 @@ def apply_fused_update(
     # Pallas per-row RMW streams only touched rows (table-size
     # independent; 14.4 vs 26.2 ms at 8.2 GiB). Pick Pallas when the
     # stream term dominates — i.e. at HBM-scale shards.
-    from torchrec_tpu.ops.cost_model import pallas_update_s, xla_update_s
+    from torchrec_tpu.ops.cost_model import (
+        gather_write_update_s,
+        pallas_update_s,
+        xla_update_s,
+    )
 
     N_ids = flat_ids.shape[0]
     auto_pallas = (
-        pallas_update_s(N_ids) < xla_update_s(N_ids, weights.nbytes)
+        min(pallas_update_s(N_ids), gather_write_update_s(N_ids))
+        < xla_update_s(N_ids, weights.nbytes)
         and weights.dtype == jnp.float32
         and weights.shape[1] % 128 == 0
         and jax.default_backend() == "tpu"  # interpret mode has no DMA win
@@ -430,7 +450,8 @@ def apply_fused_update(
         return _apply_fused_update_pallas(
             weights, opt_state, uids_c, g_c, learning_rate,
             eps=eps, weight_decay=weight_decay, beta1=beta1, beta2=beta2,
-            mom_max_block_share=mom_max_block_share,
+            mom_max_block_share=mom_max_block_share, mom_impl=mom_impl,
+            w_impl=w_impl,
         )
 
     # --- sorted positional combine (no compaction scatter) ---------------
@@ -550,7 +571,10 @@ def apply_fused_update(
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
         m = opt_state.momentum1
         g_sq = jnp.mean(g * g, axis=1)  # [N]; zero at dup slots
-        mom_impl = _mom_impl(R, N, mom_max_block_share, mom_block_fracs)
+        mom_impl = _mom_impl(
+            R, N, mom_max_block_share, mom_block_fracs,
+            default=mom_impl,
+        )
         if mom_impl in ("stream", "split"):
             # streaming Pallas momentum (r3): the whole [R] accumulator
             # rides VMEM tiles and the per-position scale comes back
@@ -792,6 +816,7 @@ def _mom_impl(
     N: int,
     max_block_share: "Optional[float]" = None,
     block_fracs: "Optional[Tuple[float, ...]]" = None,
+    default: str = "auto",
 ) -> str:
     """Rowwise-momentum implementation: 'stream' | 'xla' | 'split'.
 
@@ -799,9 +824,7 @@ def _mom_impl(
     them) requires the per-block layout (`block_fracs`) and is opt-in
     via TORCHREC_TPU_MOM_IMPL=split until chip-calibrated into 'auto'.
     """
-    import os
-
-    impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", "auto")
+    impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", default)
     if impl == "split":
         return "split" if block_fracs else "stream"
     if impl in ("stream", "xla"):
@@ -932,7 +955,8 @@ def _mom_dense_hot(
 
 
 def _use_mom_stream(
-    R: int, N: int, max_block_share: "Optional[float]" = None
+    R: int, N: int, max_block_share: "Optional[float]" = None,
+    default: str = "auto",
 ) -> bool:
     """Pick the rowwise-momentum implementation: the streaming Pallas
     kernel (R-bound: whole [R] accumulator through VMEM tiles) vs the
@@ -941,9 +965,7 @@ def _use_mom_stream(
     groups (heterogeneous tiny-table mixes) pay the honest stream+
     fallback cost and route to XLA up front.
     TORCHREC_TPU_MOM_IMPL=stream|xla overrides."""
-    import os
-
-    impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", "auto")
+    impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", default)
     if impl == "stream":
         return True
     if impl == "xla":
@@ -953,6 +975,26 @@ def _use_mom_stream(
     return (
         jax.default_backend() == "tpu"
         and mom_stream_s(R, N, max_block_share) < mom_xla_s(N)
+    )
+
+
+def _w_impl(N: int, default: str = "auto") -> str:
+    """Pallas weight-update form: "rmw" (in-place wave kernels) or
+    "write" (XLA gather + write-only scatter). Measured r5: gather+write
+    47 ns/row vs RMW 67-72, table-size independent — auto picks by the
+    cost model. TORCHREC_TPU_W_IMPL overrides."""
+    impl = os.environ.get("TORCHREC_TPU_W_IMPL", default)
+    if impl in ("rmw", "write"):
+        return impl
+    from torchrec_tpu.ops.cost_model import (
+        gather_write_update_s,
+        pallas_update_s,
+    )
+
+    return (
+        "write"
+        if gather_write_update_s(N) < pallas_update_s(N)
+        else "rmw"
     )
 
 
@@ -977,21 +1019,37 @@ def _apply_fused_update_pallas(
     beta1: float,
     beta2: float,
     mom_max_block_share: "Optional[float]" = None,
+    mom_impl: str = "auto",
+    w_impl: str = "auto",
 ) -> Tuple[Array, FusedOptimizerState]:
-    """Route the deduped row update to the in-place Pallas RMW kernels."""
+    """Route the deduped row update to the in-place Pallas kernels."""
     from torchrec_tpu.ops import pallas_embedding as pe
 
     lr = jnp.asarray(learning_rate, dtype=weights.dtype)
     optim = opt_state.optim
     step = opt_state.step + 1
+    R = weights.shape[0]
+    w_impl = _w_impl(uids.shape[0], default=w_impl)
 
     # wave sizes bounded by the sflag (DMA semaphore) budget: ~2KB total,
     # 4 bytes per semaphore, one read+write array pair per streamed
     # tensor (measured overflow at T=256 with 2 arrays on v5e)
     if optim in (EmbOptimType.SGD, EmbOptimType.EXACT_SGD):
-        new_w = pe.fused_update_sgd(
-            weights, uids, g, lr, weight_decay=weight_decay, T=128
-        )
+        if w_impl == "write":
+            # XLA gather (8.6 ns/row) + write-only scatter (35 ns/row)
+            # vs the RMW wave kernel's 4 scalar-core DMA ops/row —
+            # measured 47 vs 69-72 ns/row (bench_write_kernel_r5.py).
+            # uids may interleave sentinels (run-total form): plain
+            # clipped gather, writes predicated in-kernel.
+            w_rows = weights[jnp.minimum(uids, R - 1)]
+            g2 = g + weight_decay * w_rows if weight_decay else g
+            new_w = pe.scatter_rows_write(
+                weights, uids, w_rows - lr * g2
+            )
+        else:
+            new_w = pe.fused_update_sgd(
+                weights, uids, g, lr, weight_decay=weight_decay, T=128
+            )
         return new_w, opt_state.replace(step=step)
 
     if optim is EmbOptimType.ROWWISE_ADAGRAD:
@@ -999,9 +1057,11 @@ def _apply_fused_update_pallas(
             weights, opt_state.momentum1, uids, g, lr,
             eps=eps, weight_decay=weight_decay, T=128,
             momentum_stream=_use_mom_stream(
-                weights.shape[0], uids.shape[0], mom_max_block_share
+                weights.shape[0], uids.shape[0], mom_max_block_share,
+                default=mom_impl,
             ),
             mom_max_block_share=mom_max_block_share,
+            w_impl=w_impl,
         )
         return new_w, opt_state.replace(momentum1=new_m, step=step)
 

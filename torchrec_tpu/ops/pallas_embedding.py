@@ -22,6 +22,12 @@ lowering serializes these):
                        UNIQUE (pre-deduped, see ops.fused_update
                        .dedup_row_grads); slack slots carry id >= R and
                        their writeback is predicated off.
+* `scatter_rows_write` — write-only row scatter (r5): the caller reads
+                       rows through XLA's native gather (~8.6 ns/row)
+                       and does the optimizer math in XLA, leaving only
+                       1 write start + 1 wait per row here (~35 ns) —
+                       the production w-update form (w_impl="write",
+                       47 vs 67-72 ns/row full-update measured).
 
 CPU fallback/testing: every entry point takes `interpret=None` which
 auto-enables the Pallas interpreter off-TPU, so the same code paths are
@@ -138,6 +144,91 @@ def _gather_rows_bwd(T, interpret, res, d_rows):
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# scatter_rows_write: write-only row scatter (the cheap half of RMW)
+# ---------------------------------------------------------------------------
+
+
+def _scatter_write_kernel(ids_ref, w_hbm, rows_ref, out_w, sems, *, T, R):
+    """One write DMA per real row; sentinel slots (id >= R) skipped.
+
+    The row READS that the RMW wave kernels pay ~2 scalar-core ops/row
+    for are done by the CALLER through XLA's native gather (~8.6 ns/row,
+    8x cheaper than a per-row DMA descriptor) — this kernel only issues
+    the writes XLA cannot do without rewriting the whole operand
+    (NOTES_r4: donated XLA scatter streams 2x operand bytes at 626 GB/s
+    once rows stop fitting in cache)."""
+    del w_hbm  # present only to carry the input/output alias
+    base = pl.program_id(0) * T
+
+    def start(t, _):
+        @pl.when(ids_ref[base + t] < R)
+        def _w():
+            pltpu.make_async_copy(
+                rows_ref.at[t], out_w.at[ids_ref[base + t]], sems.at[t]
+            ).start()
+
+        return _
+
+    jax.lax.fori_loop(0, T, start, None)
+
+    def wait(t, _):
+        @pl.when(ids_ref[base + t] < R)
+        def _w():
+            pltpu.make_async_copy(
+                rows_ref.at[t], out_w.at[ids_ref[base + t]], sems.at[t]
+            ).wait()
+
+        return _
+
+    jax.lax.fori_loop(0, T, wait, None)
+
+
+def scatter_rows_write(
+    weights: Array,
+    uids: Array,
+    rows: Array,
+    T: int = _MAX_WAVE,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """weights[uids[t]] = rows[t] in place, for uids[t] < R; others skip.
+
+    uids must be UNIQUE among real slots (duplicate writes would race
+    within a wave) — the fused-update dispatch guarantees this via
+    dedup/run-total combine. rows [N, D] streams through the normal
+    blocked VMEM pipeline (no per-row read descriptors), so the
+    scalar-core cost is 1 start + 1 wait per real row (~35 ns) vs the
+    RMW wave kernels' ~70 ns/row."""
+    interpret = _auto_interpret(interpret)
+    R, D = weights.shape
+    N = uids.shape[0]
+    Np = -(-N // T) * T
+    if Np != N:
+        uids = jnp.pad(uids, (0, Np - N), constant_values=2**31 - 1)
+        rows = jnp.pad(rows, ((0, Np - N), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_scatter_write_kernel, T=T, R=R),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # weights (alias)
+                pl.BlockSpec(
+                    (T, D), lambda i, *p: (i, 0), memory_space=pltpu.VMEM
+                ),  # new rows
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA((T,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, D), weights.dtype),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(uids, weights, rows)
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +629,7 @@ def fused_update_rowwise_adagrad(
     T: int = 128,
     momentum_stream: bool = False,
     mom_max_block_share: Optional[float] = None,
+    w_impl: str = "rmw",
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """In-place rowwise-Adagrad: momentum [R] holds mean(g^2) per row.
@@ -599,6 +691,21 @@ def fused_update_rowwise_adagrad(
         scale = jnp.where(
             valid > 0, -lr / (jnp.sqrt(m_rows) + eps), 0.0
         ).astype(weights.dtype)[:, None]
+
+    if w_impl == "write":
+        # XLA gather + write-only scatter beats the scaled RMW wave on
+        # descriptor count (2 vs 4 scalar-core DMA ops/row; measured 47
+        # vs 69-72 ns/row, tools/bench_write_kernel_r5.py). weight_decay
+        # was consumed into g above; scale is zero at invalid slots and
+        # the kernel skips sentinel writes anyway.
+        w_rows = weights.at[ids].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True
+        )
+        new_rows = w_rows + scale * g
+        new_w = scatter_rows_write(
+            weights, uids, new_rows, interpret=interpret
+        )
+        return new_w, new_m
 
     new_w = pl.pallas_call(
         functools.partial(

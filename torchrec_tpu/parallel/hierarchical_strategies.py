@@ -314,7 +314,7 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         owned = (owner_l == l) & _token_mask(len_m, L)
         coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
         coeff = coeff * owned.astype(w.dtype)
-        partial = pooled_lookup(w[0], local, coeff)
+        partial = pooled_lookup(w[0], local, coeff, impl=self.emb_impl)
         # intra-host reduce-scatter (ICI), ref twrw_sharding.py:441-484
         intra = lax.psum_scatter(
             partial, AXIS, scatter_dimension=1, tiled=True,
@@ -631,7 +631,9 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
         columns are split locally, every device holds all rows)."""
         coeff = self._coeff(len_m, L, mean_m, psw_m, w.dtype)
         local = ids_m + off
-        pooled = pooled_lookup(w[0], local, coeff)  # [f,B,D/Lc]
+        pooled = pooled_lookup(
+            w[0], local, coeff, impl=self.emb_impl
+        )  # [f,B,D/Lc]
         # intra-host: swap batch-sharding for column-concat (ICI)
         intra = lax.all_to_all(
             pooled, AXIS, split_axis=1, concat_axis=2, tiled=True,

@@ -102,7 +102,9 @@ class RwSequenceEmbeddingSharding(RwEmbeddingSharding):
         """Per-device token forward on pre-gathered global inputs."""
         my = lax.axis_index(AXIS)
         local, owned = self._route(ids_g, len_g, my, L)
-        rows = lookup_rows(w[0], local.reshape(-1)).reshape(
+        rows = lookup_rows(
+            w[0], local.reshape(-1), impl=self.emb_impl
+        ).reshape(
             *local.shape, w.shape[-1]
         )
         rows = rows * owned.astype(w.dtype)[..., None]
@@ -209,7 +211,9 @@ class TwSequenceEmbeddingSharding(TwEmbeddingSharding):
     def _fwd_tokens(self, w, ids_g, len_g, L):
         my = lax.axis_index(AXIS)
         ids_m, len_m, _, _ = self._mine(ids_g, len_g, None, my)
-        rows = lookup_rows(w[0], ids_m.reshape(-1)).reshape(
+        rows = lookup_rows(
+            w[0], ids_m.reshape(-1), impl=self.emb_impl
+        ).reshape(
             *ids_m.shape, w.shape[-1]
         )
         mask = _token_mask(len_m, L).astype(w.dtype)
@@ -337,7 +341,7 @@ class TwRwSequenceEmbeddingSharding:
                 local = ids_m % sr + off
                 owned = (owner_l == l) & _token_mask(len_m, L)
                 rows = lookup_rows(
-                    w[0], local.reshape(-1)
+                    w[0], local.reshape(-1), impl=self.emb_impl
                 ).reshape(*local.shape, w.shape[-1])
                 rows = rows * owned.astype(w.dtype)[..., None]
                 intra = lax.psum_scatter(

@@ -186,6 +186,10 @@ class BaseEmbeddingShardingStrategy:
         self.input_routing = self.optim_kwargs.pop(
             "input_routing", "allgather"
         )
+        # lookup kernel implementation ("auto" | "xla" | "pallas") — a
+        # documented fused_params key (TORCHREC_TPU_EMB_IMPL env
+        # overrides, ops/embedding._use_pallas)
+        self.emb_impl = self.optim_kwargs.pop("emb_impl", "auto")
         if self.input_routing != "allgather" and not hasattr(
             self, "_route_inputs"
         ):
@@ -671,7 +675,7 @@ class DpEmbeddingSharding(BaseEmbeddingShardingStrategy):
                 lengths, L, self.meta.feature_pooling_mean,
                 psw if has_w else None, w.dtype,
             )
-            return pooled_lookup(w, gids, coeff)
+            return pooled_lookup(w, gids, coeff, impl=self.emb_impl)
 
         return jax.shard_map(
             fwd,
@@ -841,7 +845,7 @@ class RwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             len_g, L, self.meta.feature_pooling_mean, psw_g, w.dtype
         )
         coeff = coeff * owned.astype(w.dtype)
-        partial = pooled_lookup(w[0], local, coeff)
+        partial = pooled_lookup(w[0], local, coeff, impl=self.emb_impl)
         return lax.psum_scatter(
             partial, AXIS, scatter_dimension=1, tiled=True
         )
@@ -1113,7 +1117,9 @@ class TwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             coeff = coeff * psw_m.astype(w.dtype)
         denom = jnp.maximum(len_m.astype(w.dtype), 1.0)[:, :, None]
         coeff = jnp.where(mean_m[:, None, None], coeff / denom, coeff)
-        pooled = pooled_lookup(w[0], ids_m, coeff)  # [f_max, B, D]
+        pooled = pooled_lookup(
+            w[0], ids_m, coeff, impl=self.emb_impl
+        )  # [f_max, B, D]
         slots = lax.all_to_all(
             pooled, AXIS, split_axis=1, concat_axis=0, tiled=True
         )  # [n*f_max, B_loc, D]
@@ -1339,7 +1345,9 @@ class CwEmbeddingSharding(BaseEmbeddingShardingStrategy):
         coeff = _pool_coeff(
             len_g, L, self.meta.feature_pooling_mean, psw_g, w.dtype
         )
-        pooled = pooled_lookup(w[0], gids, coeff)  # [F,B,D/n]
+        pooled = pooled_lookup(
+            w[0], gids, coeff, impl=self.emb_impl
+        )  # [F,B,D/n]
         return lax.all_to_all(
             pooled, AXIS, split_axis=1, concat_axis=2, tiled=True
         )  # [F, B_loc, D]

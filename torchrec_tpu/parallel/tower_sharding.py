@@ -105,9 +105,10 @@ class ShardedEmbeddingTowerCollection:
         self.towers = list(towers)
         self.optim = optim
         self.optim_kwargs = dict(optim_kwargs or {})
-        # device-strategy-only knob plumbed through fused_params; not an
-        # apply_fused_update argument
+        # device-strategy-only knobs plumbed through fused_params; not
+        # apply_fused_update arguments
         self.optim_kwargs.pop("input_routing", None)
+        self.emb_impl = self.optim_kwargs.pop("emb_impl", "auto")
         self.interaction_lr = interaction_lr
         n = env.world_size
         dims = {t.embedding_dim for tw in towers for t in tw.tables}
@@ -302,7 +303,9 @@ class ShardedEmbeddingTowerCollection:
             coeff = coeff * psw_m.astype(dtype)
         denom = jnp.maximum(len_m.astype(dtype), 1.0)[:, :, None]
         coeff = jnp.where(mean_f[:, None, None], coeff / denom, coeff)
-        pooled = pooled_lookup(w_loc, ids_m, coeff)  # [f_max, B, D]
+        pooled = pooled_lookup(
+            w_loc, ids_m, coeff, impl=self.emb_impl
+        )  # [f_max, B, D]
         return pooled, ids_m, coeff, len_m
 
     def _interaction_branches(self) -> List[Callable]:

@@ -54,6 +54,7 @@ class UvmEmbeddingBagCollection:
     ):
         optim_kwargs = dict(optim_kwargs or {})
         optim_kwargs.pop("input_routing", None)  # device-strategy-only knob
+        optim_kwargs.pop("emb_impl", None)  # cache lookups are XLA-path
         self.tables = tuple(tables)
         self._emb_names = embedding_names_by_table(self.tables)
         self.embedding_names = tuple(
