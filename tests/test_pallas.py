@@ -852,3 +852,48 @@ def test_w_impl_auto_picks_write():
     # every N (both are linear in N); overrides win
     assert _w_impl(1000) == "write"
     assert _w_impl(1000, default="rmw") == "rmw"
+
+
+@pytest.mark.parametrize(
+    "optim", [EmbOptimType.ADAGRAD, EmbOptimType.ADAM]
+)
+def test_fused_full_momentum_write_impl_parity(
+    weights, rng, optim, monkeypatch
+):
+    """ADAGRAD/ADAM gather+write branches vs the in-wave RMW kernels:
+    weights and every momentum slot must match through the full pallas
+    dispatch."""
+    from torchrec_tpu.ops.fused_update import _apply_fused_update_pallas
+
+    uids = _unique_ids(rng, 96)
+    g = jnp.asarray(rng.randn(96, D).astype(np.float32))
+    opt = init_fused_optimizer_state(R, D, optim)
+    opt = opt.replace(
+        momentum1=jnp.asarray(rng.rand(R, D).astype(np.float32)),
+        momentum2=(
+            jnp.asarray(rng.rand(R, D).astype(np.float32))
+            if opt.momentum2 is not None else None
+        ),
+    )
+    outs = {}
+    for impl in ("rmw", "write"):
+        monkeypatch.setenv("TORCHREC_TPU_W_IMPL", impl)
+        new_w, new_opt = _apply_fused_update_pallas(
+            weights, opt, uids, g, jnp.float32(0.05),
+            eps=1e-8, weight_decay=0.01, beta1=0.9, beta2=0.999,
+        )
+        outs[impl] = (new_w, new_opt)
+    w_r, o_r = outs["rmw"]
+    w_w, o_w = outs["write"]
+    np.testing.assert_allclose(
+        np.asarray(w_w), np.asarray(w_r), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_w.momentum1), np.asarray(o_r.momentum1),
+        rtol=1e-6, atol=1e-7,
+    )
+    if o_r.momentum2 is not None:
+        np.testing.assert_allclose(
+            np.asarray(o_w.momentum2), np.asarray(o_r.momentum2),
+            rtol=1e-6, atol=1e-7,
+        )
