@@ -43,6 +43,7 @@ from torchrec_tpu.parallel.strategies import (
     _cdiv,
     _merge_dev_fracs,
     _mom_layout_fracs,
+    _uniq_entries,
     _pad_rows_tile,
     _token_mask,
 )
@@ -133,6 +134,17 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             for tids in per_host
         ])
         self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
+        # unique-row hard bound per device (ops/cost_model.unique_slot_cap):
+        # a device sees all its host's feature ids ([f_max, B, L] slots,
+        # non-owned masked invalid) and owns table_sr rows of each table
+        self.uniq_entries = tuple(
+            _uniq_entries(
+                (int(self.table_sr[ti]),
+                 len(feats_of_table[ti]) / self.f_max)
+                for ti in tids
+            )
+            for tids in per_host
+        )
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.dim)
@@ -353,7 +365,8 @@ class TwRwEmbeddingSharding(BaseEmbeddingShardingStrategy):
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, D),
             owned.reshape(-1), lr,
-            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs,
+            unique_entries=self.uniq_entries, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
@@ -562,6 +575,14 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             for tids in self.per_host
         ])
         self.mom_share = max(self.mom_fracs) if self.mom_fracs else None
+        self.uniq_entries = tuple(
+            _uniq_entries(
+                (self.meta.tables[ti].rows,
+                 int((ft == ti).sum()) / self.f_max)
+                for ti in tids
+            )
+            for tids in self.per_host
+        )
 
     def weights_shape(self):
         return (self.n, self.rows_loc, self.cols_loc)
@@ -666,7 +687,8 @@ class TwCwEmbeddingSharding(TwRwEmbeddingSharding):
             w[0], self._opt_local(opt),
             local.reshape(-1), row_grads.reshape(-1, self.cols_loc),
             valid.reshape(-1), lr,
-            mom_block_fracs=self.mom_fracs, **self.optim_kwargs,
+            mom_block_fracs=self.mom_fracs,
+            unique_entries=self.uniq_entries, **self.optim_kwargs,
         )
         return new_w[None], self._opt_relocal(new_opt)
 
