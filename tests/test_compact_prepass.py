@@ -371,3 +371,67 @@ def test_compact_engages_and_matches_through_dmp(monkeypatch):
         np.testing.assert_allclose(
             got[name], base[name], rtol=1e-6, atol=1e-7, err_msg=name
         )
+
+
+def test_compact_engages_through_twrw(monkeypatch):
+    """Hierarchical (TWRW) wiring: tiny tables on one host make the
+    per-device cap bind; the pre-pass engages inside the TWRW shard_map
+    update and matches the uncompacted result."""
+    import jax
+
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        ParameterSharding,
+        ShardedEmbeddingBagCollection,
+        ShardingEnv,
+        ShardingType,
+    )
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    B2, L2, D2 = 512, 1, 128
+    tables = tuple(
+        EmbeddingBagConfig(
+            num_embeddings=8, embedding_dim=D2, name=f"t{i}",
+            feature_names=[f"f{i}"],
+        )
+        for i in range(4)
+    )
+    env = ShardingEnv.from_devices(local_size=4)
+    plan = {
+        f"t{i}": ParameterSharding(
+            ShardingType.TABLE_ROW_WISE, host=0
+        )
+        for i in range(4)
+    }
+    rng = np.random.RandomState(0)
+    dense = {
+        t.name: rng.randn(8, D2).astype(np.float32) for t in tables
+    }
+    vals = np.concatenate(
+        [rng.randint(0, 8, B2).astype(np.int32) for _ in range(4)]
+    )
+    sb = KeyedJaggedTensor.from_lengths(
+        [f"f{i}" for i in range(4)], jnp.asarray(vals),
+        jnp.asarray(np.ones((4 * B2,), np.int32)),
+    ).to_padded(L2)
+    d_values = jnp.asarray(
+        rng.randn(B2, 4 * D2).astype(np.float32)
+    )
+
+    def run(mode):
+        monkeypatch.setenv("TORCHREC_TPU_COMPACT", mode)
+        sebc = ShardedEmbeddingBagCollection(env, tables, plan)
+        states = sebc.shard_from_dense(dense)
+        new_states = jax.jit(sebc.update)(
+            states, sb, d_values, jnp.float32(0.1)
+        )
+        return sebc.unshard_to_dense(new_states)
+
+    base = run("never")
+    calls = _spy(monkeypatch)
+    got = run("always")
+    assert calls, "pre-pass never engaged through TWRW"
+    for name in base:
+        np.testing.assert_allclose(
+            got[name], base[name], rtol=1e-6, atol=1e-7, err_msg=name
+        )
