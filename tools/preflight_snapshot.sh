@@ -4,16 +4,19 @@
 # pass. Exits nonzero on the first failure.
 set -e
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD:${PYTHONPATH}"
 
 echo "== 1/3 full test suite (CPU mesh) =="
-python -m pytest tests/ -q -x
+PYTHONPATH="$PWD:${PYTHONPATH}" python -m pytest tests/ -q -x
 
 echo "== 2/3 multichip dryrun (8 virtual devices) =="
-JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+# PYTHONPATH WITHOUT .axon_site here: its sitecustomize initializes the
+# axon backend at interpreter start, before the CPU flags can take
+# effect (the suite step survives because conftest.py re-forces cpu)
+PYTHONPATH="$PWD" JAX_PLATFORMS=cpu \
+  XLA_FLAGS="--xla_force_host_platform_device_count=8" \
   python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN OK')"
 
 echo "== 3/3 fast bench (headline only; chip if reachable) =="
-TORCHREC_BENCH_FAST=1 timeout 900 python bench.py
+PYTHONPATH="$PWD:${PYTHONPATH}" TORCHREC_BENCH_FAST=1 timeout 900 python bench.py
 
 echo "PREFLIGHT GREEN"
