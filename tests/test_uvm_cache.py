@@ -561,3 +561,100 @@ def test_dmp_all_uvm_module_exact_momentum_resume(optim):
         state2, _, _ = step2(state2, *batch(i))
     got = dmp2.state_dict(state2)["embeddings/ebc"]["t0"]
     np.testing.assert_array_equal(got, golden)
+
+
+def test_uvm_adam_npz_checkpoint_exact_resume(tmp_path):
+    """save_reshardable/load_reshardable roundtrip of an all-UVM Adam
+    module: the new `<name>.m2` / `<name>.step` uvmopt entries survive
+    the npz key format (`uvmopt/{key}/{entry}` parse) and restore
+    training bit-exactly."""
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.parallel import (
+        DistributedModelParallel,
+        ParameterSharding,
+        ShardingEnv,
+        ShardingPlan,
+        ShardingType,
+    )
+    from torchrec_tpu.parallel.types import ComputeKernel
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+    from torchrec_tpu.utils.checkpoint import (
+        load_reshardable,
+        save_reshardable,
+    )
+
+    B2, L2, D2 = 16, 2, 16
+    tables = (
+        EmbeddingBagConfig(
+            num_embeddings=150, embedding_dim=D2, name="t0",
+            feature_names=["f0"],
+        ),
+    )
+
+    class M(nn.Module):
+        ebc: nn.Module
+
+        @nn.compact
+        def __call__(self, sb, labels):
+            logits = nn.Dense(1)(self.ebc(sb).values)[:, 0]
+            y = labels.astype(logits.dtype)
+            loss = jnp.mean(
+                jnp.maximum(logits, 0) - logits * y
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return loss, (loss, logits)
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        vals = r.randint(0, 150, size=(B2 * L2,)).astype(np.int32)
+        sb = KeyedJaggedTensor.from_lengths(
+            ["f0"], jnp.asarray(vals),
+            jnp.asarray(np.full((B2,), L2, np.int32)),
+        ).to_padded(L2)
+        return sb, jnp.asarray((vals[:B2] % 2).astype(np.float32))
+
+    def make_dmp():
+        return DistributedModelParallel(
+            M(ebc=EmbeddingBagCollection(tables=tables,
+                                         max_feature_length=L2)),
+            env=ShardingEnv.from_devices(),
+            plan=ShardingPlan({"ebc": {"t0": ParameterSharding(
+                ShardingType.TABLE_WISE,
+                compute_kernel=ComputeKernel.FUSED_UVM_CACHING,
+                ranks=[0],
+            )}}),
+            fused_optim=EmbOptimType.ADAM,
+            fused_params={"learning_rate": 0.1},
+            dense_optimizer=optax.sgd(0.05),
+        )
+
+    sb0, lab0 = batch(0)
+    dmp1 = make_dmp()
+    state1 = dmp1.init(jax.random.PRNGKey(0), sb0, lab0)
+    step1 = dmp1.make_train_step(donate=False)
+    for i in range(3):
+        state1, _, _ = step1(state1, *batch(i))
+    path = str(tmp_path / "uvm_adam.npz")
+    save_reshardable(path, dmp1, state1)
+    # npz must carry both momentum slots + the bias-correction step
+    import numpy as _np
+    keys = set(_np.load(path).files)
+    assert "uvmopt/ebc/t0" in keys and "uvmopt/ebc/t0.m2" in keys
+    assert "uvmopt/ebc/t0.step" in keys
+    # golden: uninterrupted continuation
+    for i in range(3, 5):
+        state1, _, _ = step1(state1, *batch(i))
+    golden = dmp1.state_dict(state1)["embeddings/ebc"]["t0"]
+
+    dmp2 = make_dmp()
+    state2 = dmp2.init(jax.random.PRNGKey(7), sb0, lab0)
+    state2 = load_reshardable(path, dmp2, state2)
+    step2 = dmp2.make_train_step(donate=False)
+    for i in range(3, 5):
+        state2, _, _ = step2(state2, *batch(i))
+    got = dmp2.state_dict(state2)["embeddings/ebc"]["t0"]
+    np.testing.assert_array_equal(got, golden)
