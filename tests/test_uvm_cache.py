@@ -144,6 +144,22 @@ def test_uvm_cache_all_optimizers_golden_parity():
         assert uvm.misses > 0  # eviction/staging actually exercised
 
 
+def test_uvm_ebc_rejects_reserved_table_name_suffixes():
+    """momentum_dict suffix-encodes '.m2'/'.step'; colliding table
+    names must be rejected at construction, not misrouted on load."""
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.parallel.uvm_ebc import UvmEmbeddingBagCollection
+
+    t = EmbeddingBagConfig(num_embeddings=10, embedding_dim=8,
+                           name="clicks.step", feature_names=["f0"])
+    try:
+        UvmEmbeddingBagCollection((t,), {"clicks.step":
+                                         np.zeros((10, 8), np.float32)})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "reserved" in str(e)
+
+
 def test_uvm_cache_eviction_pressure():
     """Working set far larger than the cache: every row still correct."""
     rng = np.random.RandomState(1)
@@ -642,9 +658,13 @@ def test_uvm_adam_npz_checkpoint_exact_resume(tmp_path):
     save_reshardable(path, dmp1, state1)
     # npz must carry both momentum slots + the bias-correction step
     import numpy as _np
-    keys = set(_np.load(path).files)
+    data = _np.load(path)
+    keys = set(data.files)
     assert "uvmopt/ebc/t0" in keys and "uvmopt/ebc/t0.m2" in keys
     assert "uvmopt/ebc/t0.step" in keys
+    # the step counter must keep an integer dtype: a float32 cast
+    # rounds step > 2^24 and breaks exact bias-correction resume
+    assert _np.issubdtype(data["uvmopt/ebc/t0.step"].dtype, _np.integer)
     # golden: uninterrupted continuation
     for i in range(3, 5):
         state1, _, _ = step1(state1, *batch(i))

@@ -51,13 +51,16 @@ def bench_chain_inplace(op, carry, k1=5, k2=25, reps=3):
 
     c = f(carry)
     sync(c)
-    best = None
+    # min PER LEG before differencing: a relay stall inflating a k1 leg
+    # would otherwise fabricate a too-small slope for that rep, and
+    # min-of-differences would then select exactly the distorted rep
+    t1s, t2s = [], []
     for _ in range(reps):
         t1, c = wall(k1, c)
         t2, c = wall(k2, c)
-        t = (t2 - t1) / (k2 - k1)
-        best = t if best is None else min(best, t)
-    return best, c
+        t1s.append(t1)
+        t2s.append(t2)
+    return (min(t2s) - min(t1s)) / (k2 - k1), c
 
 
 def main():
@@ -79,11 +82,17 @@ def main():
         ).astype(np.int32)
         n_real = N - pad
 
+        def _bump_ids(ids, bump):
+            # sentinels stay sentinels: a plain (ids + bump) % R wraps
+            # 2**31-1 into a REAL row id, so from step 2 every pad slot
+            # would write and the /n_real ns/row would overstate cost
+            return jnp.where(ids < R, (ids + bump) % jnp.int32(R), ids)
+
         def step_a(c):
             w, ids, rows = c
             new_w = pe.scatter_rows_write(w, ids, rows, interpret=False)
             bump = (new_w[0, 0] > -1.0).astype(jnp.int32)
-            return (new_w, (ids + bump) % jnp.int32(R), rows)
+            return (new_w, _bump_ids(ids, bump), rows)
 
         def step_b(c):
             w, ids, rows = c
@@ -94,7 +103,7 @@ def main():
                 w, ids, new_rows, interpret=False
             )
             bump = (new_w[0, 0] > -1.0).astype(jnp.int32)
-            return (new_w, (ids + bump) % jnp.int32(R), rows)
+            return (new_w, _bump_ids(ids, bump), rows)
 
         def step_c(c):
             w, ids, rows = c
@@ -102,7 +111,7 @@ def main():
                 w, ids, rows, jnp.float32(0.01), T=128, interpret=False
             )
             bump = (new_w[0, 0] > -1.0).astype(jnp.int32)
-            return (new_w, (ids + bump) % jnp.int32(R), rows)
+            return (new_w, _bump_ids(ids, bump), rows)
 
         import jax
 

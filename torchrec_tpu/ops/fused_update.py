@@ -966,6 +966,12 @@ def _use_mom_stream(
     fallback cost and route to XLA up front.
     TORCHREC_TPU_MOM_IMPL=stream|xla overrides."""
     impl = os.environ.get("TORCHREC_TPU_MOM_IMPL", default)
+    if impl == "split":
+        # the hot-block split is an XLA-route feature; on the Pallas
+        # route the closest honoring of the override is the stream
+        # kernel (same choice _mom_impl makes when block_fracs are
+        # absent) rather than silently falling back to auto
+        impl = "stream"
     if impl == "stream":
         return True
     if impl == "xla":
@@ -981,8 +987,11 @@ def _use_mom_stream(
 def _w_impl(N: int, default: str = "auto") -> str:
     """Pallas weight-update form: "rmw" (in-place wave kernels) or
     "write" (XLA gather + write-only scatter). Measured r5: gather+write
-    47 ns/row vs RMW 67-72, table-size independent — auto picks by the
-    cost model. TORCHREC_TPU_W_IMPL overrides."""
+    47 ns/row vs RMW 67-72 — BOTH costs are linear in N with no
+    crossover, so "auto" currently resolves to "write" at every N; the
+    cost-model comparison is kept so a re-measured constant (new chip
+    generation) changes the dispatch here alone.
+    TORCHREC_TPU_W_IMPL overrides."""
     impl = os.environ.get("TORCHREC_TPU_W_IMPL", default)
     if impl in ("rmw", "write"):
         return impl

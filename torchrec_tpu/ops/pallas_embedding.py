@@ -203,11 +203,7 @@ def scatter_rows_write(
     RMW wave kernels' ~70 ns/row."""
     interpret = _auto_interpret(interpret)
     R, D = weights.shape
-    N = uids.shape[0]
-    Np = -(-N // T) * T
-    if Np != N:
-        uids = jnp.pad(uids, (0, Np - N), constant_values=2**31 - 1)
-        rows = jnp.pad(rows, ((0, Np - N), (0, 0)))
+    uids, rows, Np = _pad_wave(uids, rows, T)
     return pl.pallas_call(
         functools.partial(_scatter_write_kernel, T=T, R=R),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -56,6 +56,15 @@ class UvmEmbeddingBagCollection:
         optim_kwargs.pop("input_routing", None)  # device-strategy-only knob
         optim_kwargs.pop("emb_impl", None)  # cache lookups are XLA-path
         self.tables = tuple(tables)
+        for t in self.tables:
+            if t.name.endswith((".m2", ".step")):
+                # momentum_dict suffix-encodes second moments and the
+                # Adam step under these names; a colliding table name
+                # would misroute load_momentum
+                raise ValueError(
+                    f"UVM table name {t.name!r} ends in a reserved "
+                    "checkpoint suffix ('.m2'/'.step')"
+                )
         self._emb_names = embedding_names_by_table(self.tables)
         self.embedding_names = tuple(
             n for names in self._emb_names for n in names

@@ -67,7 +67,13 @@ def save_reshardable(path: str, dmp, state) -> None:
             for name, w in uvm.state_dict().items():
                 flat[f"tables/{key}/{name}"] = np.asarray(w, np.float32)
             for name, m in uvm.momentum_dict().items():
-                flat[f"uvmopt/{key}/{name}"] = np.asarray(m, np.float32)
+                # keep integer entries (the Adam `.step` counter) in
+                # their own dtype: a float32 cast rounds step > 2^24
+                # and breaks exact bias-correction resume
+                m = np.asarray(m)
+                if not np.issubdtype(m.dtype, np.integer):
+                    m = m.astype(np.float32)
+                flat[f"uvmopt/{key}/{name}"] = m
     flat["step"] = np.asarray(state.step)
     np.savez(path, **flat)
 
